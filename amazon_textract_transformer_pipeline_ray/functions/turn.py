@@ -1,0 +1,90 @@
+"""Per-turn end-to-end extraction: payload -> parse -> classify -> assemble
+-> consolidate.
+
+This is the single-turn composition of all kernels — the Ray stages call it
+per row inside vectorized ``map_batches`` batches, and the test oracle
+(``oracle.py``) calls it row-at-a-time, so any divergence isolates to the
+distributed orchestration (batching, windowing, ordering, partitioning),
+which is exactly what the oracle gate is for.
+
+Dialect dispatch mirrors the reference's engine-agnostic contract: every
+payload kind is normalized to the same block tree before classification
+(``ocr_engines/base.py:18-39`` registry; SURVEY.md §2.10 Extractor
+protocol).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import EngineConfig
+from .assembler import AssembledTurn, Detection, assemble_turn
+from .blocks import TurnBlocks
+from .classifier import classify_turn
+from .consolidate import TurnFields, consolidate_turn, normalize_detections
+from .html_parser import parse_html
+from .layout_parser import parse_layout_json
+from .plain_parser import parse_plain
+
+DIALECT_LAYOUT = "layout"
+DIALECT_HTML = "html"
+DIALECT_PLAIN = "plain"
+
+
+def detect_dialect(payload: str) -> str:
+    head = payload.lstrip()[:1]
+    if head in ("{", "["):
+        return DIALECT_LAYOUT
+    if "<" in payload[:4096]:
+        return DIALECT_HTML
+    return DIALECT_PLAIN
+
+
+def parse_payload(payload: str) -> TurnBlocks:
+    d = detect_dialect(payload)
+    if d == DIALECT_LAYOUT:
+        return parse_layout_json(payload)
+    if d == DIALECT_HTML:
+        return parse_html(payload)
+    return parse_plain(payload)
+
+
+@dataclass
+class ExtractedTurn:
+    """Everything the pipeline emits for one turn (None => empty turn,
+    dropped per the reference's empty-page rule, base.py:419-428)."""
+
+    extracted_text: str
+    boilerplate_ratio: float
+    n_words: int
+    n_content_words: int
+    detections: list[Detection]
+    fields: TurnFields
+    pred_class: np.ndarray
+    pred_conf: np.ndarray
+    blocks: TurnBlocks
+
+
+def extract_turn(payload: str, cfg: EngineConfig) -> ExtractedTurn | None:
+    tb = parse_payload(payload)
+    if tb.n_words == 0:
+        return None
+    pred_class, pred_conf = classify_turn(tb, cfg.n_classes, cfg.max_seq_len)
+    assembled: AssembledTurn = assemble_turn(
+        tb, pred_class, pred_conf, cfg.entity_classes
+    )
+    normalize_detections(assembled.detections, cfg)
+    fields = consolidate_turn(assembled.detections, cfg)
+    return ExtractedTurn(
+        extracted_text=assembled.extracted_text,
+        boilerplate_ratio=assembled.boilerplate_ratio,
+        n_words=assembled.n_words,
+        n_content_words=assembled.n_content_words,
+        detections=assembled.detections,
+        fields=fields,
+        pred_class=pred_class,
+        pred_conf=pred_conf,
+        blocks=tb,
+    )

@@ -1,0 +1,158 @@
+"""The flagship extraction pipeline (Ray Data restatement of the
+reference's production document pipeline, SURVEY.md §3.1):
+
+    read_parquet(transcripts)                       # prune to needed columns
+      -> map_batches(TurnExtractor, concurrency=N)  # actor pool (parse+classify+assemble)
+      -> [write_parquet partitioned + manifests]    # resumable layout
+    turns -> map_batches(add_text_digest)           # lean pre-shuffle projection
+          -> groupby(conv_id).map_groups(...)       # the one semantic shuffle
+          -> conversations table
+
+The confidence gate of the reference's state machine
+(``pipeline/__init__.py:288-301``) is the ``review_needed`` column, not a
+branch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import pyarrow.dataset  # noqa: F401  (ensures pa.dataset available for filters)
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.conversation import add_text_digest, summarize_conversation
+from ..stages.extract import TurnExtractor
+from ..state import checkpoint as ckpt
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+
+
+def read_transcripts(paths: str | Sequence[str]) -> rd.Dataset:
+    """Column-pruned read: only what extraction needs leaves storage."""
+    return rd.read_parquet(paths, columns=TRANSCRIPT_COLUMNS)
+
+
+def build_turns(
+    ds: rd.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    emit: str = "turns",
+    with_partition_id: bool = False,
+    only_partitions: frozenset[int] | None = None,
+) -> rd.Dataset:
+    """Lazy turns (or fields) dataset from a transcript dataset.
+
+    Default actor-pool size: autoscaling 1..available CPUs (callable-class
+    map_batches requires an explicit concurrency in Ray 2.49)."""
+    if concurrency is None:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, n))
+    return ds.map_batches(
+        TurnExtractor,
+        fn_constructor_kwargs={
+            "cfg": cfg,
+            "emit": emit,
+            "with_partition_id": with_partition_id,
+            "only_partitions": only_partitions,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def build_conversations(turns: rd.Dataset) -> rd.Dataset:
+    """Conversation-level rollup with stable turn ordering (the one
+    semantic shuffle; payload is the lean digest projection)."""
+    lean = turns.map_batches(add_text_digest, batch_format="pyarrow")
+    return lean.groupby("conv_id").map_groups(
+        summarize_conversation, batch_format="pandas"
+    )
+
+
+def run_checkpointed(
+    input_files: Sequence[str],
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+) -> dict:
+    """Resumable extraction run.
+
+    Output layout: ``out_dir/data/partition_id=N/*.parquet`` + one manifest
+    per partition under ``out_dir/_manifests/``.  A rerun with identical
+    (inputs, config, code version) skips complete partitions entirely; an
+    interrupted run redoes only unfinished partitions.  Partition contents
+    are a pure function of the lineage inputs, so resumed output is
+    byte-identical (oracle-checked in tests).
+    """
+    fingerprint = ckpt.input_fingerprint(input_files)
+    lineage = cfg.lineage_id(fingerprint)
+    done = ckpt.load_complete_partitions(out_dir, lineage)
+    todo = frozenset(range(cfg.num_partitions)) - frozenset(done)
+    data_dir = os.path.join(out_dir, "data")
+    if not todo:
+        return ckpt.run_summary(out_dir)
+
+    # Clear partial output of unfinished partitions (crash-safety: a
+    # manifest is only written after its partition's data is fully
+    # written, so anything without a manifest is safe to redo):
+    import shutil
+
+    for pid in todo:
+        pdir = os.path.join(data_dir, f"partition_id={pid}")
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+
+    ds = read_transcripts(list(input_files))
+    turns = build_turns(
+        ds,
+        cfg,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        with_partition_id=True,
+        only_partitions=todo,
+    )
+    turns.write_parquet(data_dir, partition_cols=["partition_id"])
+
+    # Per-partition metrics: a column-pruned distributed aggregate over the
+    # written output (only the two small metric columns leave storage; the
+    # hive partition column is virtual):
+    written = rd.read_parquet(data_dir, columns=[
+        "partition_id", "n_spans", "boilerplate_ratio"])
+    from ray.data.aggregate import Count, Mean, Sum
+
+    stats = written.groupby("partition_id").aggregate(
+        Count(alias_name="turns_processed"),
+        Sum("n_spans", alias_name="span_count"),
+        Mean("boilerplate_ratio", alias_name="boilerplate_ratio"),
+    ).to_pandas()
+    seen = set()
+    for row in stats.itertuples(index=False):
+        pid = int(row.partition_id)
+        seen.add(pid)
+        if pid in done:
+            continue
+        ckpt.write_manifest(
+            out_dir, pid, lineage, fingerprint,
+            turns_processed=int(row.turns_processed),
+            turns_dropped_empty=0,
+            boilerplate_ratio=float(row.boilerplate_ratio),
+            span_count=int(row.span_count),
+        )
+    # Partitions with zero output rows still need a manifest:
+    for pid in todo - seen:
+        ckpt.write_manifest(out_dir, pid, lineage, fingerprint,
+                            turns_processed=0, turns_dropped_empty=0,
+                            boilerplate_ratio=0.0, span_count=0)
+    return ckpt.run_summary(out_dir)
+
+
+def read_turns_output(out_dir: str) -> rd.Dataset:
+    """Read back a checkpointed run's turns table (hive-partitioned)."""
+    return rd.read_parquet(os.path.join(out_dir, "data"))

@@ -1,0 +1,57 @@
+"""Conversation-level stage: the engine's ONE semantic shuffle.
+
+``groupby(conv_id)`` + in-group ``sort(turn_idx)`` produces the stable turn
+ordering the north rule requires; conversation-level invariants (turn
+uniqueness/contiguity, deterministic content digest) are asserted inside
+``map_groups``.
+
+Scale design: the group payload is a LEAN projection — per-turn metrics and
+a per-turn 16-byte text digest (computed vectorized in ``map_batches``
+BEFORE the shuffle) — never the extracted text itself, so a mega-
+conversation's group is ~50 bytes/turn rather than the full payload
+(SURVEY.md §7.4 hard part 5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def add_text_digest(batch: pa.Table) -> pa.Table:
+    """Per-turn content digest, computed pre-shuffle (cheap, vectorized-ish)."""
+    texts = batch.column("extracted_text").to_pylist()
+    digests = [hashlib.sha256(t.encode("utf-8")).hexdigest()[:16] for t in texts]
+    lean = batch.select(
+        ["conv_id", "turn_idx", "n_words", "boilerplate_ratio", "n_spans",
+         "review_needed"]
+    )
+    return lean.append_column("text_digest", pa.array(digests, pa.string()))
+
+
+def summarize_conversation(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-group: order by turn_idx, assert invariants, digest the ordered
+    content (one output row per conversation)."""
+    g = group.sort_values("turn_idx", kind="mergesort")
+    turn_idx = g["turn_idx"].to_numpy()
+    # Ordering invariant: turn_idx unique => strictly increasing after the
+    # sort. (Contiguity is NOT asserted: empty turns are legitimately
+    # dropped upstream, base.py:419-428.)
+    unique_ordered = bool(len(turn_idx) == len(set(turn_idx.tolist())))
+    h = hashlib.sha256()
+    for tix, td in zip(turn_idx.tolist(), g["text_digest"].tolist()):
+        h.update(f"{tix}:{td}\n".encode())
+    return pd.DataFrame({
+        "conv_id": [g["conv_id"].iloc[0]],
+        "n_turns": [len(g)],
+        "first_turn_idx": [int(turn_idx[0])],
+        "last_turn_idx": [int(turn_idx[-1])],
+        "turns_unique_ordered": [unique_ordered],
+        "total_words": [int(g["n_words"].sum())],
+        "mean_boilerplate_ratio": [float(g["boilerplate_ratio"].mean())],
+        "total_spans": [int(g["n_spans"].sum())],
+        "n_review_needed": [int(g["review_needed"].sum())],
+        "conv_text_sha256": [h.hexdigest()],
+    })
