@@ -1,44 +1,386 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship per-turn extraction pipeline;
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2 +
+the training-data ops suite); ``oracle_sql()`` gives the DuckDB-checkable
+subset.  The driver owns the Ray session — nothing here calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float convention: the Ray side and the SQL oracle compute every float
+result through identical exact-integer intermediates (BIGINT cents for
+2-decimal money columns, int counts for ratios) and identical division
+expressions, so results are bit-identical — no rounding tolerance is
+needed and distributed-summation associativity cannot flip the driver's
+value hash.  Integer aggregates are CAST to BIGINT in SQL to match Arrow
+int64.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_TRANSCRIPT_CACHE = "/tmp/attp_transcripts"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _transcripts(sf_dir: str) -> list[str]:
+    """Deterministic synthetic transcript corpus sized by sf (the
+    BASELINE.json input_hint table; cached under /tmp)."""
+    from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
+
+    sf = _sf_of(sf_dir)
+    n_turns = max(2000, int(2_000_000 * sf))
+    out = os.path.join(_TRANSCRIPT_CACHE, f"sf{sf:g}")
+    return write_transcripts(out, n_turns, n_shards=8)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: per-turn extraction over the sf0.001-scale transcript
+    corpus; returns the turns Dataset (driver checks rows >= 0)."""
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_turns,
+        read_transcripts,
+    )
+
+    ds = read_transcripts(_transcripts("/root/testdata/sf0.001"))
+    return build_turns(ds, batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# Extraction queries (synthesized transcript input -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _x_turns(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_turns, read_transcripts)
+
+    return build_turns(read_transcripts(_transcripts(sf_dir)), batch_size=256)
+
+
+def _x_fields(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_turns, read_transcripts)
+
+    return build_turns(read_transcripts(_transcripts(sf_dir)),
+                       batch_size=256, emit="fields")
+
+
+def _x_conversations(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_conversations, build_turns, read_transcripts)
+
+    return build_conversations(
+        build_turns(read_transcripts(_transcripts(sf_dir)), batch_size=256))
+
+
+def _x_spans(sf_dir: str):
+    """Exploded span rows (one row per entity detection)."""
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        spans = batch.column("spans")
+        counts = np.array([len(s) for s in spans.to_pylist()])
+        flat = [s for row in spans.to_pylist() for s in row]
+        conv = np.repeat(batch.column("conv_id").to_numpy(zero_copy_only=False), counts)
+        tix = np.repeat(batch.column("turn_idx").to_numpy(), counts)
+        return pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(tix, pa.int32()),
+            "class_name": pa.array([s["class_name"] for s in flat], pa.string()),
+            "text": pa.array([s["text"] for s in flat], pa.string()),
+            "start": pa.array([s["start"] for s in flat], pa.int32()),
+            "end": pa.array([s["end"] for s in flat], pa.int32()),
+            "page": pa.array([s["page"] for s in flat], pa.int16()),
+        })
+
+    return _x_turns(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup,
+        events,
+        relational,
+        similarity,
+        text,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction (synthetic transcripts; rows-only) ---
+        "x_turns": _x_turns,
+        "x_fields": _x_fields,
+        "x_conversations": _x_conversations,
+        "x_spans": _x_spans,
+        # --- relational (TPC-H-ish; SQL-checked) ---
+        "pricing_summary": relational.q_pricing_summary,
+        "orders_by_priority": relational.q_orders_by_priority,
+        "top_parts_by_revenue": relational.q_top_parts_by_revenue,
+        "nation_supplier_revenue": relational.q_nation_supplier_revenue,
+        "top_customers": relational.q_top_customers,
+        "orders_lineitem_join": relational.q_orders_lineitem_join,
+        "customers_with_open_orders": relational.q_customers_with_open_orders,
+        "customers_without_orders": relational.q_customers_without_orders,
+        # --- events / stream-shaped (SQL-checked) ---
+        "events_hourly": events.q_events_hourly,
+        "events_sessionize": events.q_events_sessionize,
+        "events_asof_orders": events.q_events_asof_orders,
+        "events_top_users": events.q_events_top_users,
+        "events_type_stats": events.q_events_type_stats,
+        # --- text analysis (SQL-checked unless noted) ---
+        "doc_stats_by_lang": text.q_doc_stats_by_lang,
+        "token_totals": text.q_token_totals,
+        "doc_fingerprint": text.q_doc_fingerprint,
+        "doc_dedup_exact": text.q_doc_dedup_exact,
+        "doc_quality": text.q_doc_quality,
+        "doc_langid": text.q_doc_langid,  # heuristic; rows-only
+        # --- dedup suite ---
+        "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,       # SQL-checked
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,       # rows-only
+        "simhash": dedup.q_simhash,                           # rows-only
+        "simhash_pairs": dedup.q_simhash_pairs,               # rows-only
+        # --- similarity search ---
+        "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
+        "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
+        "embedding_knn_lsh": similarity.q_embedding_knn_lsh,  # rows-only
+    }
+
+
+def _sql_registry() -> dict[str, str]:
+    # Exact-arithmetic convention: money columns are 2-decimal values, so
+    # sums run over BIGINT cents (or cents x percent) and final doubles are
+    # produced by the same division expressions the Ray side uses —
+    # bit-identical results with no rounding tolerance needed.
+    cents = "CAST(ROUND({col} * 100) AS BIGINT)"
+    rev_cp = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+              "CAST(ROUND((1 - l_discount) * 100) AS BIGINT)")
+    stop_list = ", ".join(
+        f"'{w}'" for w in
+        ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"))
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM({cents.format(col='l_extendedprice')}) AS DOUBLE)
+                       / 100.0 AS sum_base_price,
+                   CAST(SUM({rev_cp}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+                   (CAST(SUM({cents.format(col='l_extendedprice')}) AS DOUBLE)
+                       / 100.0) / CAST(COUNT(*) AS DOUBLE) AS avg_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_priority": f"""
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   (CAST(SUM({cents.format(col='o_totalprice')}) AS DOUBLE)
+                       / 100.0) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "top_parts_by_revenue": f"""
+            SELECT l.l_partkey, p.p_name,
+                   CAST(SUM({rev_cp}) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY l.l_partkey, p.p_name
+            ORDER BY SUM({rev_cp}) DESC, l.l_partkey
+            LIMIT 10
+        """,
+        "nation_supplier_revenue": f"""
+            SELECT n.n_name,
+                   CAST(SUM({rev_cp}) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "top_customers": f"""
+            SELECT o.o_custkey, c.c_name, n.n_name,
+                   CAST(SUM({cents.format(col='o.o_totalprice')}) AS DOUBLE)
+                       / 100.0 AS total_spend,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY o.o_custkey, c.c_name, n.n_name
+            ORDER BY SUM({cents.format(col='o.o_totalprice')}) DESC, o.o_custkey
+            LIMIT 10
+        """,
+        "orders_lineitem_join": f"""
+            SELECT o.o_orderstatus,
+                   CAST(SUM({rev_cp}) AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        "customers_with_open_orders": """
+            SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+            GROUP BY c.c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c.c_nationkey
+        """,
+        "events_hourly": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM({cents.format(col='value')}) AS DOUBLE)
+                       / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events)
+            SELECT user_id,
+                   CAST(1 + SUM(brk) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "events_asof_orders": f"""
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice
+                FROM orders GROUP BY o_custkey, o_orderdate),
+            m AS (
+                SELECT e.event_type, o.o_totalprice
+                FROM events e ASOF LEFT JOIN o1 o
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(o_totalprice) AS BIGINT) AS n_matched,
+                   CASE WHEN COUNT(o_totalprice) = 0 THEN NULL
+                        ELSE (CAST(SUM({cents.format(col='o_totalprice')})
+                                   AS DOUBLE) / 100.0)
+                             / CAST(COUNT(o_totalprice) AS DOUBLE)
+                   END AS avg_matched_price
+            FROM m GROUP BY event_type
+        """,
+        "events_top_users": f"""
+            SELECT user_id,
+                   CAST(SUM({cents.format(col='value')}) AS DOUBLE)
+                       / 100.0 AS total_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY SUM({cents.format(col='value')}) DESC, user_id LIMIT 20
+        """,
+        "events_type_stats": f"""
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   (CAST(SUM({cents.format(col='value')}) AS DOUBLE) / 100.0)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avg_chars,
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "token_totals": """
+            SELECT CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "doc_dedup_exact": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                       CAST(len(list_filter(toks, x -> x IN ({stop_list})))
+                            AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                   END AS stopword_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                       CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                           'sum') AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE)
+                   END AS mean_token_len
+            FROM t
+        """,
+        "jaccard_dup_pairs": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(trim(text),
+                                                                  '\\s+'))) AS w
+                FROM documents WHERE trim(text) <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+                FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i.da AS doc_id_a, i.db AS doc_id_b,
+                   CAST(i.shared AS DOUBLE)
+                       / CAST(sa.n + sb.n - i.shared AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.da
+            JOIN sizes sb ON sb.doc_id = i.db
+            WHERE CAST(i.shared AS DOUBLE)
+                      / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.5
+        """,
+        "embedding_knn": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT q.qid, e.vec_id AS nid,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, nid,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, nid) AS rnk
+                  FROM s)
+            SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank,
+                   nid AS neighbor_id
+            FROM r WHERE rnk <= 5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _sql_registry()

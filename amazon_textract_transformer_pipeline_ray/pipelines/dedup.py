@@ -1,0 +1,267 @@
+"""Deduplication suite over the ``documents`` table: exact (see text.py),
+exact all-pairs n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes
+-----------
+* ``q_jaccard_dup_pairs`` is the EXACT oracle-checkable variant: the
+  distributed stage reduces every document to a compact token-id set;
+  the small reduced form is crossed via one dense incidence matmul.
+  This is exhaustive (matches the SQL oracle bit-for-bit) and right for
+  corpora whose *reduced* form fits a worker; at 10^9-doc scale you switch
+  to the LSH variant below (candidate generation without the quadratic).
+* ``q_minhash_lsh_pairs``: shingle -> 64 minhashes -> 16 bands x 4 rows ->
+  band-bucket groupby -> candidate pairs -> exact-Jaccard verification.
+  Probabilistic recall (no SQL oracle; rows-only check).
+* ``q_simhash_pairs``: 64-bit simhash; pairs at Hamming distance <= 3
+  found by 4x16-bit band blocking — pigeonhole gives EXACT recall for
+  d <= 3 (a pair differing in <= 3 bits must agree on >= 1 of 4 bands).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..sources.tables import broadcast, read_table
+from .text import _WS_RE
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # x 4 rows/band
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return _WS_RE.split(t) if t else []
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Distinct token ids (crc32) per doc, sorted."""
+    toks = set(_tokens(text))
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    return np.sort(np.array(
+        [zlib.crc32(w.encode("utf-8")) for w in toks], dtype=np.uint64))
+
+
+def doc_token_sets(sf_dir: str) -> rd.Dataset:
+    """Distributed reduction: document -> compact distinct-token-id set."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def reduce_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sets = [_token_hashes(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "token_ids": pa.array([s.tolist() for s in sets],
+                                  pa.list_(pa.uint64())),
+        })
+
+    return ds.map_batches(reduce_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def q_jaccard_dup_pairs(sf_dir: str,
+                        threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+    """All document pairs with token-set Jaccard >= threshold (exact).
+
+    Output: (doc_id_a < doc_id_b, jaccard rounded to 6 dp)."""
+    reduced = doc_token_sets(sf_dir).to_pandas()
+    doc_ids = reduced["doc_id"].to_numpy()
+    sets = [np.asarray(s, dtype=np.uint64) for s in reduced["token_ids"]]
+
+    # Dense incidence over the (small) union vocabulary:
+    vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
+                                     [np.zeros(0, np.uint64)]))
+    m = np.zeros((len(sets), len(vocab)), dtype=np.float32)
+    for i, s in enumerate(sets):
+        if len(s):
+            m[i, np.searchsorted(vocab, s)] = 1.0
+    inter = (m @ m.T).astype(np.float64)  # exact small-int counts
+    sizes = m.sum(axis=1).astype(np.float64)
+    union = sizes[:, None] + sizes[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(union > 0, inter / union, 0.0)
+    ia, ib = np.triu_indices(len(sets), k=1)
+    keep = jac[ia, ib] >= threshold
+    out = pd.DataFrame({
+        "doc_id_a": np.minimum(doc_ids[ia[keep]], doc_ids[ib[keep]]),
+        "doc_id_b": np.maximum(doc_ids[ia[keep]], doc_ids[ib[keep]]),
+        "jaccard": jac[ia, ib][keep],
+    })
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Deterministic 64 hash-permutation parameters (odd multipliers):
+_RNG = np.random.default_rng(1337)
+_MH_A = (_RNG.integers(1, 2**31, MINHASH_PERMS, dtype=np.uint64) * 2 + 1)
+_MH_B = _RNG.integers(0, 2**31, MINHASH_PERMS, dtype=np.uint64)
+_MOD = np.uint64(2**61 - 1)
+
+
+def minhash_signature(token_ids: np.ndarray) -> np.ndarray:
+    """(MINHASH_PERMS,) uint64 signature; empty set -> all MOD."""
+    if len(token_ids) == 0:
+        return np.full(MINHASH_PERMS, _MOD, dtype=np.uint64)
+    # (n_tokens, n_perms) universal hashing, min over tokens:
+    h = (token_ids[:, None] * _MH_A[None, :] + _MH_B[None, :]) % _MOD
+    return h.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool stage: doc -> LSH band rows (band_id, band_hash, doc_id).
+
+    Emits LSH_BANDS rows per doc (flat-map shape: more rows out than in)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        band_ids, band_hashes, out_docs = [], [], []
+        rows = MINHASH_PERMS // LSH_BANDS
+        for did, text in zip(doc_ids, batch.column("text").to_pylist()):
+            sig = minhash_signature(_token_hashes(text))
+            for b in range(LSH_BANDS):
+                band = sig[b * rows:(b + 1) * rows]
+                band_ids.append(b)
+                band_hashes.append(zlib.crc32(band.tobytes()))
+                out_docs.append(did)
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.uint32()),
+            "doc_id": pa.array(out_docs, pa.int64()),
+        })
+
+
+def q_minhash_lsh_pairs(sf_dir: str,
+                        threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+    """Near-dup candidate pairs via MinHash banding, verified by exact
+    Jaccard on the token sets (broadcast of the compact reduced sets).
+
+    Probabilistic recall (P[miss] = (1 - t^4)^16 per pair at Jaccard t) —
+    rows-only correctness check; the exact variant is
+    ``q_jaccard_dup_pairs``."""
+    bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(MinHasher, batch_format="pyarrow",
+                          batch_size=4096, concurrency=(1, 4)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_id_a": ids[ia], "doc_id_b": ids[ib]})
+
+    candidates = (bands.groupby(["band_id", "band_hash"])
+                  .map_groups(bucket_pairs, batch_format="pandas"))
+    cand = candidates.to_pandas().drop_duplicates().reset_index(drop=True)
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                             "doc_id_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+
+    # Exact verification with the reduced sets broadcast once:
+    reduced = doc_token_sets(sf_dir).to_pandas()
+    lookup_ref = broadcast({
+        int(d): np.asarray(s, dtype=np.uint64)
+        for d, s in zip(reduced["doc_id"], reduced["token_ids"])})
+
+    class Verify:
+        def __init__(self):
+            self.sets = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jacs = np.zeros(len(batch))
+            for i, (a, b) in enumerate(zip(batch["doc_id_a"], batch["doc_id_b"])):
+                sa, sb = self.sets[int(a)], self.sets[int(b)]
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                jacs[i] = inter / union if union else 0.0
+            out = batch.copy()
+            out["jaccard"] = np.round(jacs, 6)
+            return out[out["jaccard"] >= threshold]
+
+    verified = (rd.from_pandas(cand)
+                .map_batches(Verify, batch_format="pandas", batch_size=8192,
+                             concurrency=(1, 4))
+                .to_pandas())
+    return verified.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over crc32-seeded token hashes weighted by count."""
+    toks = _tokens(text)
+    if not toks:
+        return 0
+    vals, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    h32 = np.array([zlib.crc32(w.encode("utf-8")) for w in vals], dtype=np.uint64)
+    # widen to 64 bits deterministically (splitmix-style):
+    h = h32 * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+class SimHasher:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
+        })
+
+
+def q_simhash(sf_dir: str) -> rd.Dataset:
+    """Per-document 64-bit SimHash fingerprint (rows-only check)."""
+    return (read_table(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(SimHasher, batch_format="pyarrow", batch_size=8192,
+                         concurrency=(1, 4)))
+
+
+def q_simhash_pairs(sf_dir: str,
+                    max_hamming: int = SIMHASH_MAX_HAMMING) -> pd.DataFrame:
+    """SimHash near-dup pairs (Hamming <= max_hamming) by 4x16-bit band
+    blocking — exact recall for max_hamming <= 3 by pigeonhole."""
+    sh = q_simhash(sf_dir).to_pandas()
+    hashes = sh["simhash"].to_numpy().astype(np.uint64)
+    doc_ids = sh["doc_id"].to_numpy()
+    pairs: set[tuple[int, int]] = set()
+    for band in range(4):
+        key = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        bounds = np.concatenate([starts, [len(ks)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            members = order[s:e]
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, b = members[i], members[j]
+                    d = int(bin(int(hashes[a]) ^ int(hashes[b])).count("1"))
+                    if d <= max_hamming:
+                        pairs.add((int(min(doc_ids[a], doc_ids[b])),
+                                   int(max(doc_ids[a], doc_ids[b]))))
+    out = pd.DataFrame(sorted(pairs), columns=["doc_id_a", "doc_id_b"])
+    return out.astype({"doc_id_a": np.int64, "doc_id_b": np.int64})

@@ -1,0 +1,191 @@
+"""Event-stream-shaped operators over the bounded ``events`` table.
+
+Ray Data is a batch engine; stream semantics are expressed as an ordered,
+partitioned log (SURVEY.md §2.9): partition by ``user_id``, order by ``ts``
+inside ``map_groups``.  Tumbling windows become truncated-timestamp
+groupbys; session windows and as-of joins are per-user sorted-group logic
+(``pd.merge_asof`` for the as-of case).
+
+Float determinism: ``value``/``o_totalprice`` are exact 2-decimal values;
+all sums run over int64 cents so results are bit-identical to the SQL
+oracle (see relational.py note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import broadcast, read_small_pandas, read_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _cents(col) -> np.ndarray:
+    return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1h window per event type: count + sum(value).
+
+    Window key computed vectorized pre-shuffle; partial combiner first."""
+    ds = read_table(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "hour": pc.floor_temporal(batch["ts"], unit="hour").to_pandas(),
+            "event_type": batch["event_type"].to_pandas(),
+            "cents": _cents(batch["value"]),
+        })
+        g = df.groupby(["hour", "event_type"], as_index=False).agg(
+            p_cnt=("cents", "size"), p_sum=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    final = (ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+             .groupby(["hour", "event_type"]).aggregate(
+                 Sum("p_cnt", alias_name="n_events"),
+                 Sum("p_sum", alias_name="cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": t["hour"], "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "sum_value": pa.array(
+                t["cents"].to_numpy().astype(np.float64) / 100.0),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows (30 min inactivity gap) per user: n_sessions and
+    n_events per user — groupby(user).map_groups over ts-sorted events."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > SESSION_GAP_US
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(gaps.sum()) + 1],
+            "n_events": [len(ts)],
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time (event.user_id = orders.o_custkey,
+    o_orderdate <= ts); per event_type: matched count + avg matched price.
+
+    Orders is the small side — deduped to one row per (custkey, orderdate)
+    (max price; keeps the as-of pick deterministic), broadcast sorted, then
+    ``pd.merge_asof`` inside each batch.  Both-sides-big variant: bucket
+    both by hash(user) and merge_asof per bucket in map_groups.
+    """
+    orders = read_small_pandas(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    orders = (orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
+              .agg(o_totalprice=("o_totalprice", "max"))
+              .sort_values("o_orderdate", kind="mergesort")
+              .reset_index(drop=True))
+    orders["price_cents"] = np.rint(orders["o_totalprice"].to_numpy() * 100
+                                    ).astype(np.int64)
+    ref = broadcast(orders[["o_custkey", "o_orderdate", "price_cents"]])
+
+    class AsOf:
+        def __init__(self):
+            self.orders = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.sort_values("ts", kind="mergesort")
+            m = pd.merge_asof(
+                b, self.orders, left_on="ts", right_on="o_orderdate",
+                left_by="user_id", right_by="o_custkey", direction="backward")
+            g = m.groupby("event_type", as_index=False).agg(
+                p_events=("ts", "size"),
+                p_matched=("price_cents", "count"),
+                p_price=("price_cents", "sum"),
+            )
+            g["p_price"] = g["p_price"].astype(np.int64)
+            return g
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+    partials = ds.map_batches(AsOf, batch_format="pandas", batch_size=65536,
+                              concurrency=(1, 4))
+    final = partials.groupby("event_type").aggregate(
+        Sum("p_events", alias_name="n_events"),
+        Sum("p_matched", alias_name="n_matched"),
+        Sum("p_price", alias_name="cents"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_matched"].to_numpy().astype(np.float64)
+        dollars = t["cents"].to_numpy().astype(np.float64) / 100.0
+        avg = [float(d / nn) if nn > 0 else None
+               for d, nn in zip(dollars, n)]
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "n_matched": t["n_matched"],
+            "avg_matched_price": pa.array(avg, pa.float64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k users by total event value (small aggregate -> driver top-k)."""
+    ds = read_table(sf_dir, "events", ["user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "cents": pa.array(_cents(batch["value"]))})
+
+    per_user = (ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+                .groupby("user_id").aggregate(
+                    Sum("cents", alias_name="cents"),
+                    Count(alias_name="n_events")))
+    top = (per_user.to_pandas()
+           .sort_values(["cents", "user_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    top["total_value"] = top["cents"].to_numpy().astype(np.float64) / 100.0
+    return top[["user_id", "total_value", "n_events"]]
+
+
+def q_events_type_stats(sf_dir: str) -> rd.Dataset:
+    """Distinct users + mean value per event type (exact distinct via
+    per-batch (type, user) pre-aggregation, then a per-type rollup)."""
+    ds = read_table(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "user_id": batch["user_id"].to_numpy(),
+            "cents": _cents(batch["value"]),
+        })
+        g = df.groupby(["event_type", "user_id"], as_index=False).agg(
+            p_cnt=("cents", "size"), p_sum=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_pair = (ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+                .groupby(["event_type", "user_id"]).aggregate(
+                    Sum("p_cnt", alias_name="n"), Sum("p_sum", alias_name="s")))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        dollars = float(np.int64(g["s"].sum())) / 100.0
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": np.array([len(g)], dtype=np.int64),
+            "n_events": np.array([n], dtype=np.int64),
+            "avg_value": [dollars / n],
+        })
+
+    return per_pair.groupby("event_type").map_groups(roll, batch_format="pandas")

@@ -1,0 +1,315 @@
+"""Relational operator coverage over the TPC-H-ish test tables.
+
+Each query here has a matching ANSI-SQL oracle in ``__ray_entry__.py``;
+the driver cross-checks row counts, schemas and value hashes at sf=0.01.
+
+Patterns demonstrated (and how they'd behave at 100 TB):
+  * partial (combiner) aggregation inside ``map_batches`` before the
+    shuffle groupby — the shuffle moves one row per (key, batch), not one
+    per input row;
+  * broadcast hash joins for small sides (``ray.put`` once, dict/pandas
+    merge inside the batch UDF) — no shuffle;
+  * a real hash shuffle join (``Dataset.join``) for the one big-x-big case;
+  * semi/anti joins as broadcast key-set membership filters;
+  * top-k as local-topk-per-batch -> small global sort (never a full sort).
+
+Float determinism: money columns are exact 2-decimal values, so every
+aggregate is computed over exact int64 "cents" (or cents x percent)
+intermediates — summation order cannot change the result, and the final
+doubles are bit-identical to the SQL oracle's (which mirrors the same
+integer arithmetic and division parenthesization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.tables import broadcast, read_small_pandas, read_table
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Exact integer cents from a 2-decimal double column."""
+    return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def _rev_scaled(batch: pa.Table) -> np.ndarray:
+    """Discounted revenue in exact 1e-4-dollar units:
+    cents(extendedprice) x percent(1 - discount)."""
+    cents = _cents(batch["l_extendedprice"])
+    pct = np.rint((1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+                  * 100).astype(np.int64)
+    return cents * pct
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style pricing summary with a partial-aggregate combiner."""
+    ds = read_table(sf_dir, "lineitem", [
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "l_linestatus": batch["l_linestatus"].to_pandas(),
+            "qty": batch["l_quantity"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64),
+            "base_c": _cents(batch["l_extendedprice"]),
+            "disc_cp": _rev_scaled(batch),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("qty", "sum"), p_base=("base_c", "sum"),
+            p_disc=("disc_cp", "sum"), p_cnt=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_base", alias_name="base_c"),
+        Sum("p_disc", alias_name="disc_cp"),
+        Sum("p_cnt", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        base = t["base_c"].to_numpy().astype(np.float64) / 100.0
+        disc = t["disc_cp"].to_numpy().astype(np.float64) / 10000.0
+        cnt = t["count_order"].to_numpy().astype(np.float64)
+        qty = t["sum_qty"].to_numpy().astype(np.float64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["sum_qty"],
+            "sum_base_price": pa.array(base),
+            "sum_disc_price": pa.array(disc),
+            "count_order": t["count_order"],
+            "avg_qty": pa.array(qty / cnt),
+            "avg_price": pa.array(base / cnt),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def q_orders_by_priority(sf_dir: str) -> rd.Dataset:
+    """Orders per priority: count + avg/min/max total price."""
+    ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+            "cents": _cents(batch["o_totalprice"]),
+            "price": batch["o_totalprice"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            p_sum=("cents", "sum"), p_cnt=("cents", "size"),
+            p_min=("price", "min"), p_max=("price", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    final = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .groupby("o_orderpriority").aggregate(
+                 Sum("p_sum", alias_name="cents"),
+                 Sum("p_cnt", alias_name="n_orders"),
+                 Min("p_min", alias_name="min_price"),
+                 Max("p_max", alias_name="max_price")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = (t["cents"].to_numpy().astype(np.float64) / 100.0) \
+            / t["n_orders"].to_numpy().astype(np.float64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": t["n_orders"],
+            "avg_price": pa.array(avg),
+            "min_price": t["min_price"],
+            "max_price": t["max_price"],
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast joins + top-k
+# ---------------------------------------------------------------------------
+
+def q_top_parts_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k parts by discounted revenue; part names via broadcast join."""
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "rev_cp": pa.array(_rev_scaled(batch))})
+
+    per_part = (ds.map_batches(rev, batch_format="pyarrow", batch_size=65536)
+                .groupby("l_partkey").aggregate(Sum("rev_cp", alias_name="rev_cp")))
+    top = per_part.to_pandas().sort_values(
+        ["rev_cp", "l_partkey"], ascending=[False, True]).head(k)
+    part = read_small_pandas(sf_dir, "part", ["p_partkey", "p_name"])
+    out = top.merge(part, left_on="l_partkey", right_on="p_partkey")
+    out["revenue"] = out["rev_cp"].to_numpy().astype(np.float64) / 10000.0
+    return out[["l_partkey", "p_name", "revenue"]].reset_index(drop=True)
+
+
+def q_nation_supplier_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue per supplier nation: broadcast dimension joins
+    (supplier -> nation) resolved inside the batch UDF, then a tiny
+    groupby."""
+    supplier = read_small_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = read_small_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp_to_nation = dict(zip(
+        supplier["s_suppkey"],
+        supplier["s_nationkey"].map(
+            dict(zip(nation["n_nationkey"], nation["n_name"]))),
+    ))
+    ref = broadcast(supp_to_nation)
+
+    class AttachNation:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["l_suppkey"].to_numpy()
+            names = [self.lookup[int(kk)] for kk in keys]
+            return pa.table({"n_name": pa.array(names, pa.string()),
+                             "rev_cp": pa.array(_rev_scaled(batch))})
+
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount"])
+    attached = ds.map_batches(AttachNation, batch_format="pyarrow",
+                              batch_size=65536, concurrency=(1, 4))
+    final = attached.groupby("n_name").aggregate(Sum("rev_cp", alias_name="rev_cp"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": pa.array(
+                t["rev_cp"].to_numpy().astype(np.float64) / 10000.0),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order spend, with name + nation via
+    broadcast joins."""
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "cents": pa.array(_cents(batch["o_totalprice"]))})
+
+    per_cust = (ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+                .groupby("o_custkey").aggregate(
+                    Sum("cents", alias_name="cents"),
+                    Count(alias_name="n_orders")))
+    top = per_cust.to_pandas().sort_values(
+        ["cents", "o_custkey"], ascending=[False, True]).head(k)
+    cust = read_small_pandas(sf_dir, "customer",
+                             ["c_custkey", "c_name", "c_nationkey"])
+    nation = read_small_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out["total_spend"] = out["cents"].to_numpy().astype(np.float64) / 100.0
+    return out[["o_custkey", "c_name", "n_name", "total_spend", "n_orders"]
+               ].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Big x big shuffle join
+# ---------------------------------------------------------------------------
+
+def q_orders_lineitem_join(sf_dir: str) -> rd.Dataset:
+    """orders |x| lineitem on orderkey (a real hash shuffle join via
+    Dataset.join), then revenue per order status."""
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    lineitem = read_table(sf_dir, "lineitem",
+                          ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_cp": pa.array(_rev_scaled(batch))})
+
+    lines = lineitem.map_batches(rev, batch_format="pyarrow", batch_size=65536)
+    joined = orders.join(lines, join_type="inner", num_partitions=16,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+    final = joined.groupby("o_orderstatus").aggregate(
+        Sum("rev_cp", alias_name="rev_cp"),
+        Count(alias_name="n_lines"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "revenue": pa.array(
+                t["rev_cp"].to_numpy().astype(np.float64) / 10000.0),
+            "n_lines": t["n_lines"],
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (broadcast key set)
+# ---------------------------------------------------------------------------
+
+def _order_custkeys(sf_dir: str, status: str | None = None) -> set[int]:
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    if status is not None:
+        ds = ds.map_batches(
+            lambda t, s=status: t.filter(pc.equal(t["o_orderstatus"], s)),
+            batch_format="pyarrow")
+    return set(ds.unique("o_custkey"))
+
+
+def q_customers_with_open_orders(sf_dir: str) -> pd.DataFrame:
+    """Semi join: customers having >=1 order with status 'O', counted per
+    market segment.  The key set is broadcast; customer never shuffles."""
+    keys = broadcast(_order_custkeys(sf_dir, "O"))
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(keys)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([int(kk) in self.keys
+                             for kk in batch["c_custkey"].to_numpy()])
+            return batch.filter(mask)
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = (cust.map_batches(Semi, batch_format="pyarrow", concurrency=(1, 2))
+           .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+           .to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "n_customers": pd.Series([], dtype=np.int64)})
+    return out
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers with no orders at all, per nation key."""
+    keys = broadcast(_order_custkeys(sf_dir))
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(keys)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([int(kk) not in self.keys
+                             for kk in batch["c_custkey"].to_numpy()])
+            return batch.filter(mask)
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    out = (cust.map_batches(Anti, batch_format="pyarrow", concurrency=(1, 2))
+           .groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
+           .to_pandas())
+    if len(out) == 0:  # all customers have orders: typed empty result
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int32),
+                             "n_customers": pd.Series([], dtype=np.int64)})
+    return out

@@ -1,0 +1,183 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language ID, fingerprinting, exact dedup.
+
+All per-document work is vectorized-per-batch ``map_batches``; stateful
+pieces (compiled regexes, stopword tables, n-gram profiles) live in actor
+``__init__`` — the same actor-pool shape as the extraction classifier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Min, Sum
+
+from ..sources.tables import read_table
+
+# Frozen stopword list for quality scoring (shared with the SQL oracle —
+# keep in sync with __ray_entry__.oracle_sql):
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+_WS_RE = re.compile(r"\s+")
+
+
+def token_counts(texts: list[str]) -> np.ndarray:
+    """Whitespace token count per text (empty/whitespace-only -> 0)."""
+    return np.array(
+        [len(_WS_RE.split(t.strip())) if t.strip() else 0 for t in texts],
+        dtype=np.int64)
+
+
+def q_doc_stats_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per language: doc count, avg chars, avg whitespace tokens."""
+    ds = read_table(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = token_counts(batch.column("text").to_pylist())
+        return pa.table({
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "n_tokens": pa.array(toks),
+        })
+
+    final = (ds.map_batches(stats, batch_format="pyarrow", batch_size=8192)
+             .groupby("lang").aggregate(
+                 Count(alias_name="n_docs"),
+                 Sum("n_chars", alias_name="sum_chars"),
+                 Sum("n_tokens", alias_name="sum_tokens"),
+             ))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy().astype(np.float64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": t["n_docs"],
+            "avg_chars": pa.array(
+                t["sum_chars"].to_numpy().astype(np.float64) / n),
+            "avg_tokens": pa.array(
+                t["sum_tokens"].to_numpy().astype(np.float64) / n),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def q_token_totals(sf_dir: str) -> pd.DataFrame:
+    """Corpus totals: docs + tokens (single-row result)."""
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_tokens": token_counts(batch.column("text").to_pylist())})
+
+    agg = ds.map_batches(toks, batch_format="pyarrow", batch_size=8192).aggregate(
+        Sum("n_tokens", alias_name="total_tokens"),
+        Count(alias_name="n_docs"))
+    return pd.DataFrame([agg])
+
+
+def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-document content fingerprint (md5 of the raw
+    text) — the exact-dedup / lineage key."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array(digests, pa.string())})
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=8192)
+
+
+def q_doc_dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: keep min(doc_id) per distinct text; output
+    (keep_doc_id, n_copies) — hash-partitioned groupby over the
+    fingerprint, per-group first (ray_guide 'Exact dedup')."""
+    fps = q_doc_fingerprint(sf_dir)
+    return fps.groupby("fingerprint").aggregate(
+        # min doc_id is the canonical survivor; count = copies seen
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_copies"),
+    ).select_columns(["keep_doc_id", "n_copies"])
+
+
+class QualityScorer:
+    """Quality heuristics per doc (length / stopword ratio / mean token
+    length) — actor-pool stage with state built once."""
+
+    def __init__(self):
+        self.stop = frozenset(STOPWORDS)
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tokens = np.zeros(len(texts), dtype=np.int64)
+        stop_ratio = np.zeros(len(texts))
+        mean_len = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            toks = self.ws.split(t.strip()) if t.strip() else []
+            n_tokens[i] = len(toks)
+            if toks:
+                stop_ratio[i] = sum(1 for w in toks if w in self.stop) / len(toks)
+                mean_len[i] = sum(len(w) for w in toks) / len(toks)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "stopword_ratio": pa.array(stop_ratio),
+            "mean_token_len": pa.array(mean_len),
+        })
+
+
+def q_doc_quality(sf_dir: str) -> rd.Dataset:
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow",
+                          batch_size=8192, concurrency=(1, 4))
+
+
+# Character n-gram profiles per language for the heuristic language ID.
+# Tiny frozen profiles (top trigrams of each language from public corpora
+# knowledge); deterministic, self-contained.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", " th", "he ", "er ", "on ", " of", "of "),
+    "de": ("der", "die", "und", "sch", "ein", "ich", "en ", "ch ", " de", "er "),
+    "fr": ("les", "de ", " de", "ent", "ion", "es ", "la ", " la", "et ", "que"),
+    "es": ("de ", " de", "los", "la ", " la", "el ", " el", "ión", "que", "os "),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"),
+}
+
+
+class LangId:
+    """N-gram-overlap language classifier (actor-pool stage).
+
+    Scores each language by profile-trigram hits per char; ties broken by
+    language code order.  A heuristic, not SQL-expressible -> rows-only
+    check in the driver."""
+
+    def __init__(self):
+        self.profiles = {
+            lang: tuple(grams) for lang, grams in _LANG_PROFILES.items()
+        }
+
+    def classify(self, text: str) -> str:
+        t = text.lower()
+        best_lang, best_score = "und", 0.0
+        for lang in sorted(self.profiles):
+            score = sum(t.count(g) for g in self.profiles[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pred_lang": pa.array(preds, pa.string())})
+
+
+def q_doc_langid(sf_dir: str) -> rd.Dataset:
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=8192,
+                          concurrency=(1, 4))
