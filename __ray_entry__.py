@@ -38,8 +38,8 @@ def _transcripts(sf_dir: str) -> list[str]:
     from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
 
     sf = _sf_of(sf_dir)
-    n_turns = max(2000, int(2_000_000 * sf))
-    out = os.path.join(_TRANSCRIPT_CACHE, f"sf{sf:g}")
+    n_turns = max(2000, int(1_000_000 * sf))
+    out = os.path.join(_TRANSCRIPT_CACHE, f"sf{sf:g}-n{n_turns}")
     return write_transcripts(out, n_turns, n_shards=8)
 
 
@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from amazon_textract_transformer_pipeline_ray.pipelines import (
         dedup,
         events,
+        multimodal,
         relational,
         similarity,
         text,
@@ -155,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
         "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
         "embedding_knn_lsh": similarity.q_embedding_knn_lsh,  # rows-only
+        # --- multimodal plumbing (fake codec; rows-only) ---
+        "media_features": multimodal.q_media_features,
+        "media_frame_pipeline": multimodal.q_media_frame_pipeline,
     }
 
 
@@ -358,7 +362,7 @@ def _sql_registry() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.da
             JOIN sizes sb ON sb.doc_id = i.db
             WHERE CAST(i.shared AS DOUBLE)
-                      / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.5
+                      / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.9
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .blocks import TurnBlocks
-from .geometry import quantize_boxes, union_box
+from .geometry import quantize_boxes
 
 
 @dataclass
@@ -74,92 +74,84 @@ def assemble_turn(
     pred_conf: np.ndarray,
     entity_classes: dict[int, str],
 ) -> AssembledTurn:
+    """Vectorized restatement of the reference loop (extract.py:101-131).
+
+    Equivalences relied on (each pinned by a unit test):
+      * a detection = a maximal run of equal effective class >= 0 that is
+        FOLLOWED by at least one more word (the trailing run is never
+        flushed — the loop has no final flush);
+      * the detection's page is the page of the word that triggered the
+        flush, i.e. the first word AFTER the run;
+      * detection text = extracted_text[start:end] (run words are exactly
+        the content words in that char range, with identical " "/"\n"
+        join rules).
+    """
     n = tb.n_words
     if n == 0:
         return AssembledTurn("", [], 0, 0)
 
+    # Effective class: -1 (the reference's None) outside the active config
+    # (extract.py:107-109):
+    active_ids = np.array(sorted(entity_classes), dtype=np.int64)
+    pc = pred_class.astype(np.int64)
+    eff = np.where(np.isin(pc, active_ids), pc, -1)
+
+    # --- extracted_text + per-word char offsets (vectorized) -------------
+    content = eff >= 0
+    cw = np.flatnonzero(content)
+    n_content = len(cw)
+    if n_content == 0:
+        return AssembledTurn("", [], n, 0)
+    word_lens = np.fromiter((len(tb.words[i]) for i in cw), dtype=np.int64,
+                            count=n_content)
+    same_line = tb.line_id[cw[1:]] == tb.line_id[cw[:-1]]
+    # offset[k] = sum(prev lens) + k separators:
+    offs = np.zeros(n_content, dtype=np.int64)
+    if n_content > 1:
+        offs[1:] = np.cumsum(word_lens[:-1]) + np.arange(1, n_content)
+    seps = np.where(same_line, " ", "\n")
+    parts = [tb.words[cw[0]]]
+    for k in range(1, n_content):
+        parts.append(seps[k - 1])
+        parts.append(tb.words[cw[k]])
+    extracted_text = "".join(parts)
+    # char offsets indexed by original word position:
+    offsets = np.full(n, -1, dtype=np.int64)
+    offsets[cw] = offs
+
+    # --- run-length detection extraction ---------------------------------
+    boundaries = np.flatnonzero(np.concatenate([[True], eff[1:] != eff[:-1]]))
+    run_starts = boundaries
+    run_ends = np.concatenate([boundaries[1:], [n]])  # exclusive
+    run_vals = eff[run_starts]
+    # emit runs with class >= 0 that are followed by another word:
+    emit = (run_vals >= 0) & (run_ends < n)
+    if not emit.any():
+        return AssembledTurn(extracted_text, [], n, n_content)
+
+    wconf = np.minimum(pred_conf, tb.ocr_conf)  # mixed 0-1 / 0-100 scales,
+    # exactly as the reference compares them (extract.py:46-54)
     boxes1000 = quantize_boxes(tb.boxes01)
 
-    # Effective class: None-equivalent (-1) for anything outside the active
-    # config (extract.py:107-109). Vectorized precompute:
-    active = np.array(
-        [int(c) in entity_classes for c in pred_class.astype(np.int64)], dtype=bool
-    )
-    eff = np.where(active, pred_class.astype(np.int64), -1)
-
-    # --- extracted_text + per-word char offsets --------------------------
-    # Walk lines in order; content words are those with eff >= 0.
-    offsets = np.full(n, -1, dtype=np.int64)
-    parts: list[str] = []
-    pos = 0
-    line_has_content_written = False
-    prev_line = -1
-    for i in range(n):
-        if eff[i] < 0:
-            continue
-        li = int(tb.line_id[i])
-        if parts:
-            sep = " " if li == prev_line else "\n"
-            parts.append(sep)
-            pos += 1
-        offsets[i] = pos
-        w = tb.words[i]
-        parts.append(w)
-        pos += len(w)
-        prev_line = li
-        line_has_content_written = True
-    extracted_text = "".join(parts)
-    del line_has_content_written
-
-    # --- run-length entity extraction (extract.py:101-131) ---------------
     detections: list[Detection] = []
-    current_cls = -1  # -1 == the reference's None
-    current_entity: list[list[int]] = []  # per-line lists of word indices
+    for s, e, v in zip(run_starts[emit], run_ends[emit], run_vals[emit]):
+        last = e - 1
+        start = int(offsets[s])
+        end = int(offsets[last]) + len(tb.words[last])
+        seg = boxes1000[s:e]
+        box = np.array([seg[:, 0].min(), seg[:, 1].min(),
+                        seg[:, 2].max(), seg[:, 3].max()], dtype=np.int64)
+        detections.append(Detection(
+            class_id=int(v),
+            class_name=entity_classes[int(v)],
+            page_num=int(tb.page_id[e]) + 1,  # flush-triggering word's page
+            text=extracted_text[start:end],
+            raw_text=None,
+            confidence=float(wconf[s:e].min()),
+            start=start,
+            end=end,
+            box=box,
+            word_ixs=list(range(int(s), int(e))),
+        ))
 
-    def flush(ixpage: int) -> None:
-        word_lines = [ws for ws in current_entity if ws]
-        flat = [i for ws in word_lines for i in ws]
-        text = "\n".join(" ".join(tb.words[i] for i in ws) for ws in word_lines)
-        conf = min(
-            min(float(pred_conf[i]), float(tb.ocr_conf[i])) for i in flat
-        )
-        box = union_box(boxes1000[flat])
-        start = int(offsets[flat[0]])
-        end = int(offsets[flat[-1]]) + len(tb.words[flat[-1]])
-        detections.append(
-            Detection(
-                class_id=int(current_cls),
-                class_name=entity_classes[int(current_cls)],
-                page_num=ixpage + 1,
-                text=text,
-                raw_text=None,
-                confidence=conf,
-                start=start,
-                end=end,
-                box=box,
-                word_ixs=flat,
-            )
-        )
-
-    prev_line = -1
-    for i in range(n):
-        li = int(tb.line_id[i])
-        if li != prev_line:
-            # new line(s): the reference appends one [] per line it visits;
-            # lines with zero words don't exist in our IR, and multiple
-            # appends collapse equivalently under the non-empty filter.
-            current_entity.append([])
-            prev_line = li
-        pred = int(eff[i])
-        pred_or_none = pred if pred >= 0 else -1
-        if pred_or_none != current_cls:
-            if current_cls != -1:
-                flush(int(tb.page_id[i]))
-            current_cls = pred_or_none
-            current_entity = [[]] if pred_or_none == -1 else [[i]]
-        elif pred_or_none != -1:
-            current_entity[-1].append(i)
-    # NO trailing flush — reference quirk preserved (extract.py:101-131).
-
-    n_content = int((eff >= 0).sum())
     return AssembledTurn(extracted_text, detections, n, n_content)

@@ -18,9 +18,15 @@ Hint rules (frozen spec, shared with the oracle):
   * inside <a> (outside the above)    -> OTHER (nav-style link)
   * word matches a date pattern       -> DATE
   * otherwise                         -> CONTENT
+
+Implementation: a compiled master regex tokenizes the payload into
+comments / tags / text runs in C; per-run context hints are computed once
+per text run (only CONTENT runs pay the per-word date check).
 """
 
 from __future__ import annotations
+
+import re
 
 from .blocks import (
     CLS_CAPTION,
@@ -38,42 +44,32 @@ from .blocks import (
 # Tags that force a line (block) break when opened or closed:
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 li ul ol nav header footer aside main article pre "
-    "blockquote title figcaption table tr td br hr".split()
-)
+    "blockquote title figcaption table tr td br hr".split())
 # Tags whose raw content is skipped entirely:
 RAW_SKIP_TAGS = frozenset({"script", "style"})
 INLINE_TAGS = frozenset("a span em strong b i code u small".split())
 KNOWN_TAGS = BLOCK_TAGS | RAW_SKIP_TAGS | INLINE_TAGS | {"html", "head", "body"}
 
 _HINT_BY_TAG = {
-    "pre": CLS_CODE,
-    "code": CLS_CODE,
-    "h1": CLS_TITLE,
-    "h2": CLS_TITLE,
-    "h3": CLS_TITLE,
-    "title": CLS_TITLE,
-    "nav": CLS_OTHER,
-    "header": CLS_OTHER,
-    "footer": CLS_OTHER,
+    "pre": CLS_CODE, "code": CLS_CODE,
+    "h1": CLS_TITLE, "h2": CLS_TITLE, "h3": CLS_TITLE, "title": CLS_TITLE,
+    "nav": CLS_OTHER, "header": CLS_OTHER, "footer": CLS_OTHER,
     "aside": CLS_OTHER,
     "figcaption": CLS_CAPTION,
     "blockquote": CLS_SUMMARY,
 }
-# Priority when nested contexts conflict (innermost-relevant wins by scan
-# order below):
-_HINT_PRIORITY = ["pre", "code", "h1", "h2", "h3", "title", "nav", "header",
-                  "footer", "aside", "figcaption", "blockquote"]
+
+# comment | tag | text-run — tokenized in one C-level pass:
+_TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<[^>]*>|[^<]+", re.DOTALL)
 
 
-def _hint_for(stack: list[str], in_link: bool, word: str) -> int:
-    for tag in reversed(stack):  # innermost relevant context wins
+def _context_hint(stack: list[str], in_link: bool) -> int:
+    """Hint for the current context ignoring per-word date detection;
+    innermost relevant tag wins."""
+    for tag in reversed(stack):
         if tag in _HINT_BY_TAG:
             return _HINT_BY_TAG[tag]
-    if in_link:
-        return CLS_OTHER
-    if DATE_WORD_RE.match(word):
-        return CLS_DATE
-    return CLS_CONTENT
+    return CLS_OTHER if in_link else CLS_CONTENT
 
 
 def parse_html(payload: str) -> TurnBlocks:
@@ -86,6 +82,7 @@ def parse_html(payload: str) -> TurnBlocks:
     cur_links: list[int] = []
     stack: list[str] = []
     link_depth = 0
+    skip_until: str | None = None  # inside <script>/<style>
 
     def flush_line() -> None:
         nonlocal cur_words, cur_hints, cur_links
@@ -95,46 +92,44 @@ def parse_html(payload: str) -> TurnBlocks:
             line_links.append(cur_links)
             cur_words, cur_hints, cur_links = [], [], []
 
-    def emit_text(text: str) -> None:
-        nonlocal cur_words, cur_hints, cur_links
-        for w in text.split():
-            cur_words.append(w)
-            cur_hints.append(_hint_for(stack, link_depth > 0, w))
-            cur_links.append(1 if link_depth > 0 else 0)
-
-    i, n = 0, len(payload)
-    while i < n:
-        lt = payload.find("<", i)
-        if lt == -1:
-            emit_text(payload[i:])
-            break
-        if lt > i:
-            emit_text(payload[i:lt])
-        if payload.startswith("<!--", lt):
-            end = payload.find("-->", lt + 4)
-            i = n if end == -1 else end + 3
+    for m in _TOKEN_RE.finditer(payload):
+        tok = m.group()
+        first = tok[0]
+        if first != "<":
+            # text run
+            if skip_until is not None:
+                continue
+            ws = tok.split()
+            if not ws:
+                continue
+            hint = _context_hint(stack, link_depth > 0)
+            link = 1 if link_depth > 0 else 0
+            if hint == CLS_CONTENT:
+                hints = [CLS_DATE if DATE_WORD_RE.match(w) else CLS_CONTENT
+                         for w in ws]
+            else:
+                hints = [hint] * len(ws)
+            cur_words.extend(ws)
+            cur_hints.extend(hints)
+            cur_links.extend([link] * len(ws))
             continue
-        gt = payload.find(">", lt + 1)
-        if gt == -1:  # stray '<': treat rest as text
-            emit_text(payload[lt:])
-            break
-        tag_body = payload[lt + 1 : gt].strip()
-        i = gt + 1
+        if tok.startswith("<!--"):
+            continue
+        tag_body = tok[1:-1].strip() if tok.endswith(">") else tok[1:].strip()
         if not tag_body:
             continue
         closing = tag_body.startswith("/")
         self_closing = tag_body.endswith("/")
-        name = tag_body.strip("/").split()[0].lower() if tag_body.strip("/") else ""
+        stripped = tag_body.strip("/")
+        name = stripped.split(None, 1)[0].lower() if stripped else ""
+        if skip_until is not None:
+            if closing and name == skip_until:
+                skip_until = None
+            continue
         if name not in KNOWN_TAGS:
             continue  # unknown tag: ignored (closed vocabulary)
         if not closing and name in RAW_SKIP_TAGS:
-            # Skip raw content up to the matching close tag:
-            close = payload.find(f"</{name}", i)
-            if close == -1:
-                i = n
-            else:
-                gt2 = payload.find(">", close)
-                i = n if gt2 == -1 else gt2 + 1
+            skip_until = name
             continue
         if name in BLOCK_TAGS:
             flush_line()
@@ -143,8 +138,7 @@ def parse_html(payload: str) -> TurnBlocks:
         if closing:
             if name == "a" and link_depth > 0:
                 link_depth -= 1
-            # Pop to the matching open tag if present:
-            if name in stack:
+            if name in stack:  # pop to the matching open tag
                 while stack:
                     if stack.pop() == name:
                         break

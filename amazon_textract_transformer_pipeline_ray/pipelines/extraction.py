@@ -23,7 +23,7 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.conversation import add_text_digest, summarize_conversation
-from ..stages.extract import TurnExtractor
+from ..stages.extract import TurnExtractor, make_extract_fn
 from ..state import checkpoint as ckpt
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
@@ -38,15 +38,27 @@ def build_turns(
     ds: rd.Dataset,
     cfg: EngineConfig = DEFAULT_CONFIG,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 256,
+    batch_size: int = 512,
     emit: str = "turns",
     with_partition_id: bool = False,
     only_partitions: frozenset[int] | None = None,
+    compute: str = "tasks",
 ) -> rd.Dataset:
     """Lazy turns (or fields) dataset from a transcript dataset.
 
-    Default actor-pool size: autoscaling 1..available CPUs (callable-class
-    map_batches requires an explicit concurrency in Ray 2.49)."""
+    compute="tasks" (default): stateless-task stage with per-worker-process
+    extractor caching — best for the built-in cheap CPU classifier (no
+    actor-pool cold start, elastic scheduling).
+    compute="actors": classic actor pool (state in ``__init__``) — the
+    right shape when the classifier is a heavyweight model; concurrency
+    defaults to (1, available CPUs).
+    """
+    if compute == "tasks":
+        return ds.map_batches(
+            make_extract_fn(cfg, emit, with_partition_id, only_partitions),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if concurrency is None:
         import ray
 

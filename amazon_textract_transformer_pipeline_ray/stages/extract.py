@@ -43,6 +43,37 @@ _TURNS_PART_SCHEMA = TURNS_SCHEMA.append(pa.field("partition_id", pa.int32()))
 _FIELDS_PART_SCHEMA = FIELDS_SCHEMA.append(pa.field("partition_id", pa.int32()))
 
 
+# Per-worker-process extractor cache for the task-based stage: Ray reuses
+# worker processes across tasks, so state built on first use is amortized
+# exactly like actor state, without paying actor-pool startup per pipeline.
+_PROCESS_EXTRACTORS: dict[tuple, "TurnExtractor"] = {}
+
+
+def make_extract_fn(cfg=None, emit: str = "turns",
+                    with_partition_id: bool = False,
+                    only_partitions: frozenset[int] | None = None):
+    """Stateless-task variant of the extraction stage.
+
+    For the built-in (cheap, CPU) classifier, warm Ray worker processes +
+    a module-level extractor cache beat a dedicated actor pool: no pool
+    cold-start per pipeline, fully elastic scheduling.  Use the actor-pool
+    variant (``TurnExtractor`` as a class UDF) when the per-worker state is
+    genuinely expensive (a real model) — see pipelines.extraction.build_turns.
+    """
+    key = (id(cfg), emit, with_partition_id,
+           tuple(sorted(only_partitions)) if only_partitions else None)
+    cfg_dict = None if cfg is None else cfg
+
+    def extract_fn(batch):
+        ex = _PROCESS_EXTRACTORS.get(key)
+        if ex is None:
+            ex = TurnExtractor(cfg_dict, emit, with_partition_id, only_partitions)
+            _PROCESS_EXTRACTORS[key] = ex
+        return ex(batch)
+
+    return extract_fn
+
+
 class TurnExtractor:
     """Actor-pool UDF: transcript rows -> extracted turn rows.
 
