@@ -39,8 +39,11 @@ def _transcripts(sf_dir: str) -> list[str]:
 
     sf = _sf_of(sf_dir)
     n_turns = max(2000, int(1_000_000 * sf))
-    out = os.path.join(_TRANSCRIPT_CACHE, f"sf{sf:g}-n{n_turns}")
-    return write_transcripts(out, n_turns, n_shards=8)
+    # Shard count sized so the read stage exposes parallelism well above
+    # the largest bench CPU count (8 shards starve a 32-CPU read wave).
+    n_shards = 8 if n_turns <= 20_000 else 64
+    out = os.path.join(_TRANSCRIPT_CACHE, f"sf{sf:g}-n{n_turns}-s{n_shards}")
+    return write_transcripts(out, n_turns, n_shards=n_shards)
 
 
 def entry() -> Any:

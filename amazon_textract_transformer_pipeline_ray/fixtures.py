@@ -294,17 +294,38 @@ def write_transcripts(
     independently (deterministic for any parallelism level).
 
     Returns the shard paths.  Skips generation if all shards already exist
-    (the corpus is a pure function of (n_turns, seed, n_shards))."""
+    (the corpus is a pure function of (n_turns, seed, n_shards)).  Shards
+    are generated in parallel across processes when the corpus is large —
+    each shard is an independent pure function of (seed, its conv indices),
+    so output is identical at any parallelism level."""
     os.makedirs(out_dir, exist_ok=True)
     sizes = conversation_sizes(n_turns, seed)
     paths = [os.path.join(out_dir, f"transcripts-{s:04d}.parquet")
              for s in range(n_shards)]
     if all(os.path.exists(p) for p in paths):
         return paths
-    for s in range(n_shards):
-        conv_ixs = [ci for ci in range(len(sizes)) if ci % n_shards == s]
-        rows = gen_transcript_rows(conv_ixs, [sizes[ci] for ci in conv_ixs], seed)
-        table = _rows_to_table(rows, shuffle_seed=seed + 1000 + s)
-        pq.write_table(table, paths[s] + ".tmp", compression="zstd")
-        os.replace(paths[s] + ".tmp", paths[s])
+    todo = [s for s in range(n_shards) if not os.path.exists(paths[s])]
+    if n_turns >= 50_000 and len(todo) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        n_workers = min(len(todo), os.cpu_count() or 8)
+        with ProcessPoolExecutor(max_workers=n_workers) as pool:
+            list(pool.map(
+                _write_shard,
+                [(out_dir, n_turns, seed, n_shards, s) for s in todo]))
+    else:
+        for s in todo:
+            _write_shard((out_dir, n_turns, seed, n_shards, s))
     return paths
+
+
+def _write_shard(args: tuple) -> str:
+    out_dir, n_turns, seed, n_shards, s = args
+    sizes = conversation_sizes(n_turns, seed)
+    path = os.path.join(out_dir, f"transcripts-{s:04d}.parquet")
+    conv_ixs = [ci for ci in range(len(sizes)) if ci % n_shards == s]
+    rows = gen_transcript_rows(conv_ixs, [sizes[ci] for ci in conv_ixs], seed)
+    table = _rows_to_table(rows, shuffle_seed=seed + 1000 + s)
+    pq.write_table(table, path + ".tmp", compression="zstd")
+    os.replace(path + ".tmp", path)
+    return path

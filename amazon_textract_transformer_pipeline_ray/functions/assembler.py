@@ -34,8 +34,19 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from functools import lru_cache
+
 from .blocks import TurnBlocks
 from .geometry import quantize_boxes
+
+
+@lru_cache(maxsize=64)
+def _active_mask(active_ids: tuple[int, ...]) -> tuple[np.ndarray, int]:
+    """Boolean lookup table over class id (replaces per-call np.isin)."""
+    max_id = max(active_ids) if active_ids else 0
+    mask = np.zeros(max_id + 1, dtype=bool)
+    mask[list(active_ids)] = True
+    return mask, max_id
 
 
 @dataclass
@@ -92,37 +103,37 @@ def assemble_turn(
 
     # Effective class: -1 (the reference's None) outside the active config
     # (extract.py:107-109):
-    active_ids = np.array(sorted(entity_classes), dtype=np.int64)
+    mask, max_id = _active_mask(tuple(sorted(entity_classes)))
     pc = pred_class.astype(np.int64)
-    eff = np.where(np.isin(pc, active_ids), pc, -1)
+    in_range = (pc >= 0) & (pc <= max_id)
+    eff = np.where(in_range & mask[np.clip(pc, 0, max_id)], pc, -1)
 
     # --- extracted_text + per-word char offsets (vectorized) -------------
-    content = eff >= 0
-    cw = np.flatnonzero(content)
+    cw = np.flatnonzero(eff >= 0)
     n_content = len(cw)
     if n_content == 0:
         return AssembledTurn("", [], n, 0)
-    word_lens = np.fromiter((len(tb.words[i]) for i in cw), dtype=np.int64,
+    words = tb.words
+    content_words = [words[i] for i in cw]
+    word_lens = np.fromiter(map(len, content_words), dtype=np.int64,
                             count=n_content)
     same_line = tb.line_id[cw[1:]] == tb.line_id[cw[:-1]]
     # offset[k] = sum(prev lens) + k separators:
     offs = np.zeros(n_content, dtype=np.int64)
     if n_content > 1:
         offs[1:] = np.cumsum(word_lens[:-1]) + np.arange(1, n_content)
-    seps = np.where(same_line, " ", "\n")
-    parts = [tb.words[cw[0]]]
-    for k in range(1, n_content):
-        parts.append(seps[k - 1])
-        parts.append(tb.words[cw[k]])
+    parts = [""] * (2 * n_content - 1)
+    parts[0::2] = content_words
+    if n_content > 1:
+        parts[1::2] = np.where(same_line, " ", "\n").tolist()
     extracted_text = "".join(parts)
     # char offsets indexed by original word position:
     offsets = np.full(n, -1, dtype=np.int64)
     offsets[cw] = offs
 
     # --- run-length detection extraction ---------------------------------
-    boundaries = np.flatnonzero(np.concatenate([[True], eff[1:] != eff[:-1]]))
-    run_starts = boundaries
-    run_ends = np.concatenate([boundaries[1:], [n]])  # exclusive
+    run_starts = np.flatnonzero(np.concatenate([[True], eff[1:] != eff[:-1]]))
+    run_ends = np.concatenate([run_starts[1:], [n]])  # exclusive
     run_vals = eff[run_starts]
     # emit runs with class >= 0 that are followed by another word:
     emit = (run_vals >= 0) & (run_ends < n)
@@ -133,25 +144,38 @@ def assemble_turn(
     # exactly as the reference compares them (extract.py:46-54)
     boxes1000 = quantize_boxes(tb.boxes01)
 
+    # Per-run folds in one vectorized pass each (runs partition [0, n), so
+    # reduceat over run_starts gives every run's G2/G3 fold at once),
+    # then gather the emitted runs.  Every word of an emitted run is a
+    # content word (class >= 0), so its indices are all present in ``cw``:
+    run_conf = np.minimum.reduceat(wconf, run_starts)[emit]
+    box_min = np.minimum.reduceat(boxes1000[:, :2], run_starts, axis=0)[emit]
+    box_max = np.maximum.reduceat(boxes1000[:, 2:], run_starts, axis=0)[emit]
+
+    starts_e = run_starts[emit]
+    ends_e = run_ends[emit]  # all < n by the emit condition
+    last_e = ends_e - 1
+    det_start = offsets[starts_e]
+    det_end = offsets[last_e] + word_lens[np.searchsorted(cw, last_e)]
+    det_page = tb.page_id[ends_e]
+    vals_e = run_vals[emit]
+
     detections: list[Detection] = []
-    for s, e, v in zip(run_starts[emit], run_ends[emit], run_vals[emit]):
-        last = e - 1
-        start = int(offsets[s])
-        end = int(offsets[last]) + len(tb.words[last])
-        seg = boxes1000[s:e]
-        box = np.array([seg[:, 0].min(), seg[:, 1].min(),
-                        seg[:, 2].max(), seg[:, 3].max()], dtype=np.int64)
+    for ri in range(len(starts_e)):
+        start = int(det_start[ri])
+        end = int(det_end[ri])
+        v = int(vals_e[ri])
         detections.append(Detection(
-            class_id=int(v),
-            class_name=entity_classes[int(v)],
-            page_num=int(tb.page_id[e]) + 1,  # flush-triggering word's page
+            class_id=v,
+            class_name=entity_classes[v],
+            page_num=int(det_page[ri]) + 1,  # flush-triggering word's page
             text=extracted_text[start:end],
             raw_text=None,
-            confidence=float(wconf[s:e].min()),
+            confidence=float(run_conf[ri]),
             start=start,
             end=end,
-            box=box,
-            word_ixs=list(range(int(s), int(e))),
+            box=np.array([box_min[ri, 0], box_min[ri, 1],
+                          box_max[ri, 0], box_max[ri, 1]], dtype=np.int64),
         ))
 
     return AssembledTurn(extracted_text, detections, n, n_content)

@@ -31,11 +31,20 @@ DATE_WORD_RE = re.compile(
 )
 
 
+_CONF_MEMO: dict[str, float] = {}
+
+
 def word_ocr_confidence(word: str) -> float:
     """Deterministic synthetic OCR confidence in [90, 100) (0-100 scale, as
     Textract emits — ``ocr_engines/base.py:173-181``). crc32 is stable
-    across processes, unlike ``hash``."""
-    return 90.0 + (zlib.crc32(word.encode("utf-8")) % 1000) / 100.0
+    across processes, unlike ``hash``.  Memoized (corpus vocabularies are
+    heavy-tailed; the memo is bounded and worker-local)."""
+    c = _CONF_MEMO.get(word)
+    if c is None:
+        c = 90.0 + (zlib.crc32(word.encode("utf-8")) % 1000) / 100.0
+        if len(_CONF_MEMO) < 200_000:
+            _CONF_MEMO[word] = c
+    return c
 
 
 @dataclass
@@ -85,41 +94,58 @@ def from_word_lists(
     tb = TurnBlocks()
     if not line_words:
         return tb
-    pages = sorted(set(line_pages))
+    n_lines_total = len(line_words)
+    counts = np.fromiter(map(len, line_words), dtype=np.int64,
+                         count=n_lines_total)
+    n = int(counts.sum())
+    if n == 0:
+        return tb
+
+    pages_arr = np.asarray(line_pages, dtype=np.int64)
     if page_line_counts is None:
-        page_line_counts = {p: sum(1 for q in line_pages if q == p) for p in pages}
-    line_in_page: dict[int, int] = {p: 0 for p in pages}
+        upages, ucounts = np.unique(pages_arr, return_counts=True)
+        page_line_counts = dict(zip(upages.tolist(), ucounts.tolist()))
+    # row index of each line within its page (order-preserving cumcount):
+    row_in_page = np.zeros(n_lines_total, dtype=np.int64)
+    for p in np.unique(pages_arr):
+        ix = np.flatnonzero(pages_arr == p)
+        row_in_page[ix] = np.arange(len(ix))
+    lines_per = np.array([max(page_line_counts[int(p)], 1) for p in pages_arr],
+                         dtype=np.float64)
 
-    words: list[str] = []
-    page_id: list[int] = []
-    line_id: list[int] = []
-    boxes: list[list[float]] = []
-    hints: list[int] = []
-    links: list[int] = []
+    # Per-line geometry bands, repeated out to words (Tesseract-adapter
+    # layout contract, vectorized):
+    y0_l = row_in_page / lines_per
+    y1_l = np.minimum((row_in_page + 0.9) / lines_per, 1.0)
+    m_l = np.maximum(counts, 1).astype(np.float64)
 
-    for li, (lw, pg) in enumerate(zip(line_words, line_pages)):
-        n_lines = max(page_line_counts[pg], 1)
-        row = line_in_page[pg]
-        line_in_page[pg] = row + 1
-        y0 = row / n_lines
-        y1 = min((row + 0.9) / n_lines, 1.0)
-        m = max(len(lw), 1)
-        for j, w in enumerate(lw):
-            words.append(w)
-            page_id.append(pg)
-            line_id.append(li)
-            boxes.append([j / m, y0, min((j + 0.9) / m, 1.0), y1])
-            hints.append(line_hints[li][j] if line_hints else CLS_CONTENT)
-            links.append(line_links[li][j] if line_links else 0)
+    line_ix = np.repeat(np.arange(n_lines_total), counts)
+    word_j = np.arange(n, dtype=np.float64) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.float64), counts)
+    m_w = m_l[line_ix]
+    boxes01 = np.empty((n, 4), dtype=np.float64)
+    boxes01[:, 0] = word_j / m_w
+    boxes01[:, 1] = y0_l[line_ix]
+    boxes01[:, 2] = np.minimum((word_j + 0.9) / m_w, 1.0)
+    boxes01[:, 3] = y1_l[line_ix]
 
-    n = len(words)
+    words: list[str] = [w for lw in line_words for w in lw]
     tb.words = words
-    tb.page_id = np.array(page_id, dtype=np.int16)
-    tb.line_id = np.array(line_id, dtype=np.int32)
-    tb.boxes01 = np.array(boxes, dtype=np.float64)
-    tb.ocr_conf = np.array([word_ocr_confidence(w) for w in words], dtype=np.float64)
-    tb.hint = np.array(hints, dtype=np.int16)
-    tb.link = np.array(links, dtype=np.int8)
+    tb.page_id = pages_arr[line_ix].astype(np.int16)
+    tb.line_id = line_ix.astype(np.int32)
+    tb.boxes01 = boxes01
+    tb.ocr_conf = np.fromiter(map(word_ocr_confidence, words),
+                              dtype=np.float64, count=n)
+    if line_hints is not None:
+        tb.hint = np.fromiter((h for lh in line_hints for h in lh),
+                              dtype=np.int16, count=n)
+    else:
+        tb.hint = np.full(n, CLS_CONTENT, dtype=np.int16)
+    if line_links is not None:
+        tb.link = np.fromiter((k for ll in line_links for k in ll),
+                              dtype=np.int8, count=n)
+    else:
+        tb.link = np.zeros(n, dtype=np.int8)
     tb.pre_class = np.full(n, -1, dtype=np.int16)
     tb.pre_conf = np.zeros(n, dtype=np.float64)
     return tb.finalize()
