@@ -228,9 +228,13 @@ def q_orders_lineitem_join(sf_dir: str) -> rd.Dataset:
     """orders |x| lineitem on orderkey (a real hash shuffle join via
     Dataset.join), then revenue per order status.
 
-    Scale shape: lineitem is pre-aggregated to one row per orderkey inside
-    ``map_batches`` + a keyed groupby BEFORE the join, so the shuffle join
-    moves |orders| + |orderkeys| rows instead of every line item."""
+    Scale shape: lineitem is pre-aggregated to one partial row per
+    (orderkey, batch) inside ``map_batches`` — a combiner, no keyed
+    shuffle of its own — and the partials feed the hash shuffle join
+    directly.  One all-to-all exchange total (the join); the final
+    groupby runs over a handful of status keys.  An extra keyed
+    groupby before the join would cost a second full shuffle for no
+    row-count reduction (orderkeys are ~unique already)."""
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     lineitem = read_table(sf_dir, "lineitem",
                           ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -239,15 +243,12 @@ def q_orders_lineitem_join(sf_dir: str) -> rd.Dataset:
         df = pd.DataFrame({"l_orderkey": batch["l_orderkey"].to_numpy(),
                            "rev_cp": _rev_scaled(batch)})
         g = df.groupby("l_orderkey", as_index=False).agg(
-            p_rev=("rev_cp", "sum"), p_n=("rev_cp", "size"))
+            rev_cp=("rev_cp", "sum"), n_lines=("rev_cp", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_order = (lineitem.map_batches(rev, batch_format="pyarrow",
-                                      batch_size=65536)
-                 .groupby("l_orderkey").aggregate(
-                     Sum("p_rev", alias_name="rev_cp"),
-                     Sum("p_n", alias_name="n_lines")))
-    joined = orders.join(per_order, join_type="inner", num_partitions=16,
+    partials = lineitem.map_batches(rev, batch_format="pyarrow",
+                                    batch_size=65536)
+    joined = orders.join(partials, join_type="inner", num_partitions=16,
                          on=("o_orderkey",), right_on=("l_orderkey",))
     final = joined.groupby("o_orderstatus").aggregate(
         Sum("rev_cp", alias_name="rev_cp"),

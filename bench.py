@@ -8,21 +8,33 @@ ONE JSON line::
     {"metric": "extraction_wall_sec", "value": N, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
 
-``--scaling``: runs the same job twice in fresh processes (num_cpus=8 and
-32) on the same input and reports both throughputs + scaling efficiency
-(the in-sandbox protocol for the N vs 4N-node criterion, BASELINE.md).
+``--scaling``: the in-sandbox protocol for the north rule's N vs 4N-node
+criterion (BASELINE.md).  Runs the identical extraction job on an
+identical 200k-turn corpus in fresh processes at num_cpus=N and 4N,
+INTERLEAVED (N, 4N, N, 4N, ...) so both levels sample the same host-noise
+environment, and reports per-level medians and bests plus scaling
+efficiency.  Default levels 8 and 32 (override:
+``GRAFT_SCALING_CPUS=6,24``); 3 pairs (``GRAFT_SCALING_PAIRS``).
+
+Single-node caveat (recorded with the result): at high worker counts all
+workers share one kernel/object store, a contention source a real
+4N-node cluster does not have; the pure-kernel process-scaling control
+(``--kernel-scaling``) isolates it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "200000"))
+SCALING_BATCH = 750
 BENCH_QUERIES = [
     "pricing_summary",
     "orders_lineitem_join",
@@ -35,54 +47,69 @@ BENCH_QUERIES = [
 ]
 
 
-def _consume(result) -> int:
-    """Force full execution; return row count."""
-    import ray.data as rd
-
-    if isinstance(result, rd.Dataset):
-        return result.count()
-    return len(result)
-
-
-def run_bench() -> dict:
+def _init_ray(num_cpus: int):
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Single node: one block per input shard is plenty (the default
+    # 200-min-block split exists for much larger clusters).
+    ctx.read_op_min_num_blocks = 64
+    return ray
 
+
+def _scaling_corpus() -> list[str]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__ as entrymod
+    from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
+
+    return write_transcripts(
+        f"/tmp/attp_transcripts/scaling-n{SCALING_TURNS}-s64",
+        SCALING_TURNS, n_shards=64)
+
+
+def _timed_extraction(paths: list[str], batch_size: int) -> float:
+    """One warmed, timed extraction-job wall time (read->extract->write)."""
+    import shutil
+
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         build_turns, read_transcripts)
 
+    build_turns(read_transcripts(paths), batch_size=batch_size).count()  # warm
+    t0 = time.time()
+    out = f"/tmp/bench_turns_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    build_turns(read_transcripts(paths), batch_size=batch_size).write_parquet(out)
+    wall = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return wall
+
+
+def run_bench() -> dict:
+    ray = _init_ray(NUM_CPUS)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        read_transcripts)
+
     # --- headline: per-turn extraction over the transcript corpus -------
     paths = entrymod._transcripts(SF_DIR)  # generated once, cached in /tmp
-    # Warm the page cache AND every Ray worker process (module imports)
-    # with one full untimed extraction pass, so the timed run measures
-    # steady-state compute — the regime a long-running 100 TB job is in.
-    # (A partial warm-up leaves cold workers that pay multi-second imports
-    # inside the timed window and invert the scaling curve.)
     n_turns_in = read_transcripts(paths).count()
-    build_turns(read_transcripts(paths)).count()
-
-    t0 = time.time()
-    out_dir = f"/tmp/bench_turns_{NUM_CPUS}"
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    build_turns(read_transcripts(paths)).write_parquet(out_dir)
-    extraction_sec = time.time() - t0
+    extraction_sec = _timed_extraction(paths, SCALING_BATCH)
 
     # --- representative queries over the sf tables ----------------------
     queries = entrymod.queries()
     q_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        _consume(queries[name](SF_DIR))
+        result = queries[name](SF_DIR)
+        import ray.data as rd
+
+        if isinstance(result, rd.Dataset):
+            result.count()  # force full execution
         q_times[name] = round(time.time() - t0, 3)
 
     result = {
@@ -99,36 +126,108 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling() -> dict:
-    """Same job, fresh processes, 8 vs 32 CPUs -> scaling efficiency."""
+def _scaling_child() -> None:
+    """One fresh-process measurement at $RAY_GRAFT_CPUS; prints a float."""
+    ray = _init_ray(NUM_CPUS)
+    paths = _scaling_corpus()
+    wall = _timed_extraction(paths, SCALING_BATCH)
+    print(f"SCALING_WALL {wall:.3f}")
+    ray.shutdown()
 
-    def run(ncpu: int) -> dict:
+
+def run_scaling() -> dict:
+    """Interleaved N / 4N fresh-process runs -> scaling efficiency."""
+    levels = [int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")]
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    lo_cpus, hi_cpus = levels
+    _scaling_corpus()  # generate once before timing anything
+
+    def run(ncpu: int) -> float:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        for line in out.splitlines():
+            if line.startswith("SCALING_WALL"):
+                return float(line.split()[1])
+        raise RuntimeError(f"no SCALING_WALL in child output: {out[-2000:]}")
 
-    lo, hi = run(8), run(32)
-    t_lo = lo["turns_per_sec"]
-    t_hi = hi["turns_per_sec"]
-    eff = (t_hi / t_lo) / (32 / 8)
+    walls: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
+    for _ in range(n_pairs):
+        walls[lo_cpus].append(run(lo_cpus))
+        walls[hi_cpus].append(run(hi_cpus))
+
+    med_lo = statistics.median(walls[lo_cpus])
+    med_hi = statistics.median(walls[hi_cpus])
+    best_lo = min(walls[lo_cpus])
+    best_hi = min(walls[hi_cpus])
+    factor = hi_cpus / lo_cpus
+    n = SCALING_TURNS
+    eff_median = (n / med_hi) / (n / med_lo) / factor
+    eff_best = (n / best_hi) / (n / best_lo) / factor
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_median, 3),
         "unit": "ratio",
-        "turns_per_sec_8cpu": t_lo,
-        "turns_per_sec_32cpu": t_hi,
-        "sec_8cpu": lo["value"],
-        "sec_32cpu": hi["value"],
-        "n_turns": hi["n_turns"],
-        "sf": SF_DIR,
+        "efficiency_best": round(eff_best, 3),
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "walls_lo_sec": [round(w, 2) for w in walls[lo_cpus]],
+        "walls_hi_sec": [round(w, 2) for w in walls[hi_cpus]],
+        "turns_per_sec_lo": round(n / med_lo, 1),
+        "turns_per_sec_hi": round(n / med_hi, 1),
+        "n_turns": n,
+        "protocol": ("interleaved fresh-process pairs, identical input, "
+                     "median per level; see BASELINE.md"),
+    }
+
+
+def run_kernel_scaling() -> dict:
+    """Pure-kernel process-scaling control (no Ray): isolates single-node
+    contention from Ray overhead."""
+    import multiprocessing as mp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    def worker(p_idx: int, dur: float, q) -> None:
+        from amazon_textract_transformer_pipeline_ray.fixtures import gen_transcripts
+        from amazon_textract_transformer_pipeline_ray.stages.extract import (
+            TurnExtractor)
+
+        batch = gen_transcripts(500, seed=42 + p_idx)
+        ex = TurnExtractor()
+        ex(batch)
+        n = 0
+        t0 = time.time()
+        while time.time() - t0 < dur:
+            ex(batch)
+            n += batch.num_rows
+        q.put(n / (time.time() - t0))
+
+    rates = {}
+    for p in (8, 32):
+        q = mp.Queue()
+        procs = [mp.Process(target=worker, args=(i, 6.0, q)) for i in range(p)]
+        [pr.start() for pr in procs]
+        rates[p] = sum(q.get() for _ in procs)
+        [pr.join() for pr in procs]
+    return {
+        "metric": "kernel_scaling_efficiency",
+        "value": round((rates[32] / rates[8]) / 4, 3),
+        "unit": "ratio",
+        "turns_per_sec_8proc": round(rates[8]),
+        "turns_per_sec_32proc": round(rates[32]),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        _scaling_child()
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--kernel-scaling" in sys.argv:
+        print(json.dumps(run_kernel_scaling()))
     else:
         print(json.dumps(run_bench()))
