@@ -88,25 +88,28 @@ def _x_conversations(sf_dir: str):
 
 
 def _x_spans(sf_dir: str):
-    """Exploded span rows (one row per entity detection)."""
+    """Exploded span rows (one row per entity detection) — zero-copy
+    Arrow list flatten, no Python loop over rows."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        spans = batch.column("spans")
-        counts = np.array([len(s) for s in spans.to_pylist()])
-        flat = [s for row in spans.to_pylist() for s in row]
-        conv = np.repeat(batch.column("conv_id").to_numpy(zero_copy_only=False), counts)
+        spans = batch.column("spans").combine_chunks()
+        counts = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(spans)
+        conv = np.repeat(
+            batch.column("conv_id").to_numpy(zero_copy_only=False), counts)
         tix = np.repeat(batch.column("turn_idx").to_numpy(), counts)
         return pa.table({
             "conv_id": pa.array(conv, pa.string()),
             "turn_idx": pa.array(tix, pa.int32()),
-            "class_name": pa.array([s["class_name"] for s in flat], pa.string()),
-            "text": pa.array([s["text"] for s in flat], pa.string()),
-            "start": pa.array([s["start"] for s in flat], pa.int32()),
-            "end": pa.array([s["end"] for s in flat], pa.int32()),
-            "page": pa.array([s["page"] for s in flat], pa.int16()),
+            "class_name": flat.field("class_name"),
+            "text": flat.field("text"),
+            "start": flat.field("start"),
+            "end": flat.field("end"),
+            "page": flat.field("page"),
         })
 
     return _x_turns(sf_dir).map_batches(explode, batch_format="pyarrow")
@@ -114,6 +117,7 @@ def _x_spans(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from amazon_textract_transformer_pipeline_ray.pipelines import (
+        corpus,
         dedup,
         events,
         multimodal,
@@ -143,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events.q_events_asof_orders,
         "events_top_users": events.q_events_top_users,
         "events_type_stats": events.q_events_type_stats,
+        "events_sliding_window": events.q_events_sliding_window,
+        # --- corpus management (SQL-checked) ---
+        "doc_train_test_split": corpus.q_doc_train_test_split,
+        "doc_sample_stratified": corpus.q_doc_sample_stratified,
+        "activity_union": corpus.q_activity_union,
         # --- text analysis (SQL-checked unless noted) ---
         "doc_stats_by_lang": text.q_doc_stats_by_lang,
         "token_totals": text.q_token_totals,
@@ -159,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
         "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
         "embedding_knn_lsh": similarity.q_embedding_knn_lsh,  # rows-only
+        "embedding_knn_ivf": similarity.q_embedding_knn_ivf,  # rows-only
         # --- multimodal plumbing (fake codec; rows-only) ---
         "media_features": multimodal.q_media_features,
         "media_frame_pipeline": multimodal.q_media_frame_pipeline,
@@ -385,6 +395,46 @@ def _sql_registry() -> dict[str, str]:
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "events_sliding_window": f"""
+            WITH w AS (
+                SELECT unnest([
+                           time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS window_start,
+                       {cents.format(col='value')} AS c
+                FROM events)
+            SELECT window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(c) AS DOUBLE) / 100.0 AS sum_value
+            FROM w GROUP BY window_start
+        """,
+        "doc_train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "doc_sample_stratified": """
+            SELECT lang,
+                   CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                      < '14' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sampled,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM documents GROUP BY lang
+        """,
+        "activity_union": f"""
+            WITH u AS (
+                SELECT 'order:' || o_orderpriority AS kind,
+                       {cents.format(col='o_totalprice')} AS c
+                FROM orders
+                UNION ALL
+                SELECT 'event:' || event_type,
+                       {cents.format(col='value')}
+                FROM events)
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS DOUBLE) / 100.0 AS total_amount
+            FROM u GROUP BY kind
         """,
     }
 

@@ -1,0 +1,127 @@
+"""Corpus-management operators: deterministic train/test split, stratified
+sampling, and manifest-style union+rename.
+
+Reference semantics mirrored:
+  * seeded train/test split of manifest lines (``Workshop.ipynb`` "Split
+    training and test sets", SURVEY.md §2.6 O5) — here a *hash* split
+    (md5 of the key), which unlike a seeded shuffle is stable under
+    corpus growth and needs no global pass;
+  * stratified sampling with a target fraction per stratum
+    (``notebooks/util/preproc.py:426-491``, O4) — same hash trick per
+    language stratum;
+  * manifest union + field renaming to a standard schema
+    (``notebooks/util/preproc.py:494-564``, D4) — ``ds.union`` after
+    per-source projection into a shared schema.
+
+All three are SQL-checkable (md5 is identical in DuckDB), so the driver
+value-hash gate covers them exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import read_table
+
+# Hex prefix thresholds: P(md5[:2] < "29") = 0x29/0x100 = 16.02%.
+TEST_HEX = "29"
+SAMPLE_HEX = "14"  # 0x14/0x100 = 7.8%
+
+
+def _md5_prefix2(keys: list[str]) -> list[str]:
+    return [hashlib.md5(k.encode("utf-8")).hexdigest()[:2] for k in keys]
+
+
+def q_doc_train_test_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash split: (doc_id, split) with split='test' iff
+    md5(doc_id)[:2] < TEST_HEX — stable under corpus growth, no shuffle,
+    no global pass (unlike the reference's seeded-shuffle split)."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pref = _md5_prefix2([str(i) for i in ids])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "split": pa.array(
+                ["test" if p < TEST_HEX else "train" for p in pref],
+                pa.string()),
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow", batch_size=65536)
+
+
+def q_doc_sample_stratified(sf_dir: str) -> rd.Dataset:
+    """Stratified ~7.8% sample per language: per-stratum counts of
+    sampled vs total docs (the reference's target-percent sampling,
+    preproc.py:426-491, as a deterministic hash filter)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pref = _md5_prefix2([str(i) for i in ids])
+        sampled = np.array([p < SAMPLE_HEX for p in pref], dtype=np.int64)
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pylist(),
+            "sampled": sampled,
+        })
+        g = df.groupby("lang", as_index=False).agg(
+            p_sampled=("sampled", "sum"), p_total=("sampled", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(mark, batch_format="pyarrow", batch_size=65536)
+            .groupby("lang").aggregate(
+                Sum("p_sampled", alias_name="n_sampled"),
+                Sum("p_total", alias_name="n_total")))
+
+
+def q_activity_union(sf_dir: str) -> rd.Dataset:
+    """Union of two differently-shaped sources (orders + events) into one
+    activity log schema (kind, n, total_amount), via per-source rename /
+    projection then ``ds.union`` (manifest-consolidation semantics, D4).
+
+    Amounts are 2-decimal; sums run in int64 cents (see relational.py)."""
+    orders = read_table(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    events = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def from_orders(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        kinds = ["order:" + p for p in batch.column("o_orderpriority").to_pylist()]
+        return _partial(kinds, cents)
+
+    def from_events(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        kinds = ["event:" + t for t in batch.column("event_type").to_pylist()]
+        return _partial(kinds, cents)
+
+    def _partial(kinds: list[str], cents: np.ndarray) -> pa.Table:
+        df = pd.DataFrame({"kind": kinds, "cents": cents})
+        g = df.groupby("kind", as_index=False).agg(
+            p_n=("cents", "size"), p_sum=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    unioned = (orders.map_batches(from_orders, batch_format="pyarrow",
+                                  batch_size=65536)
+               .union(events.map_batches(from_events, batch_format="pyarrow",
+                                         batch_size=65536)))
+    final = unioned.groupby("kind").aggregate(
+        Sum("p_n", alias_name="n"),
+        Sum("p_sum", alias_name="cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": t["kind"],
+            "n": t["n"],
+            "total_amount": pa.array(
+                t["cents"].to_numpy().astype(np.float64) / 100.0),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")

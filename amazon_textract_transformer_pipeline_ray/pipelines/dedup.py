@@ -10,8 +10,15 @@ Scale notes
   corpora whose *reduced* form fits a worker; at 10^9-doc scale you switch
   to the LSH variant below (candidate generation without the quadratic).
 * ``q_minhash_lsh_pairs``: shingle -> 64 minhashes -> 16 bands x 4 rows ->
-  band-bucket groupby -> candidate pairs -> exact-Jaccard verification.
-  Probabilistic recall (no SQL oracle; rows-only check).
+  band-bucket groupby -> candidate pairs (each emitted once, from its
+  first colliding band) -> vectorized exact-Jaccard verification.
+  Probabilistic recall (no SQL oracle; rows-only check).  NOTE: the
+  synthetic corpus is pathologically self-similar (~8% of ALL pairs are
+  true dups at t=0.9), so pair *enumeration* is inherently quadratic
+  here; on a realistic corpus (dup rate <<1%) buckets are tiny and this
+  path is the scale winner.  For corpora like this one, cluster-level
+  dedup (keep one doc per connected component) is the right operation —
+  see ``q_doc_dedup_exact`` for the exact-hash version.
 * ``q_simhash_pairs``: 64-bit simhash; pairs at Hamming distance <= 3
   found by 4x16-bit band blocking — pigeonhole gives EXACT recall for
   d <= 3 (a pair differing in <= 3 bits must agree on >= 1 of 4 bands).
@@ -32,7 +39,6 @@ from .text import _WS_RE
 
 JACCARD_THRESHOLD = 0.9  # near-duplicate bar (the synthetic docs share a
 # tiny vocabulary, so lower bars match most pairs)
-MAX_LSH_BUCKET = 64  # skip degenerate LSH buckets larger than this (logged)
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # x 4 rows/band
 SIMHASH_BITS = 64
@@ -151,90 +157,123 @@ def minhash_signature(token_ids: np.ndarray) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: doc -> LSH band rows (band_id, band_hash, doc_id).
+    """Actor-pool stage: doc -> LSH band rows
+    (band_id, band_hash, doc_id, band_hashes[16]).
 
-    Emits LSH_BANDS rows per doc (flat-map shape: more rows out than in)."""
+    Emits LSH_BANDS rows per doc (flat-map shape).  Every row carries the
+    doc's FULL vector of band hashes so the bucket stage can emit each
+    candidate pair exactly once — from its first colliding band — i.e.
+    candidate dedup happens distributed, with no extra shuffle and no
+    driver-side drop_duplicates over a quadratic row set."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        band_ids, band_hashes, out_docs = [], [], []
         rows = MINHASH_PERMS // LSH_BANDS
+        band_ids, band_hashes, out_docs, all_hashes = [], [], [], []
         for did, text in zip(doc_ids, batch.column("text").to_pylist()):
             sig = minhash_signature(_token_hashes(text))
+            bh = [zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes())
+                  for b in range(LSH_BANDS)]
             for b in range(LSH_BANDS):
-                band = sig[b * rows:(b + 1) * rows]
                 band_ids.append(b)
-                band_hashes.append(zlib.crc32(band.tobytes()))
+                band_hashes.append(bh[b])
                 out_docs.append(did)
+                all_hashes.append(bh)
         return pa.table({
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.uint32()),
             "doc_id": pa.array(out_docs, pa.int64()),
+            "band_hashes": pa.array(all_hashes, pa.list_(pa.uint32())),
         })
 
 
 def q_minhash_lsh_pairs(sf_dir: str,
                         threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
-    """Near-dup candidate pairs via MinHash banding, verified by exact
-    Jaccard on the token sets (broadcast of the compact reduced sets).
+    """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
-    Probabilistic recall (P[miss] = (1 - t^4)^16 per pair at Jaccard t) —
-    rows-only correctness check; the exact variant is
-    ``q_jaccard_dup_pairs``."""
+    Candidate generation: groupby (band, hash) buckets; inside a bucket,
+    a pair is emitted only when this band is the pair's FIRST colliding
+    band (vectorized over the bucket's band-hash matrix), so the global
+    candidate set is exactly the distinct colliding pairs.  Verification:
+    a dense doc x vocab incidence matrix is broadcast once; each batch of
+    pairs verifies with one vectorized gather-multiply-sum — exact
+    integer intersections, f64 division, identical to the SQL oracle's
+    arithmetic.  Probabilistic recall (P[miss] = (1 - t^4)^16 per pair at
+    Jaccard t; ~2e-8 at t=0.9) — rows-only driver check; recall vs the
+    exact variant is asserted in tests."""
     bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(MinHasher, batch_format="pyarrow",
                           batch_size=4096, concurrency=(1, 4)))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > MAX_LSH_BUCKET:
-            # Degenerate bucket (near-constant band over a tiny-vocabulary
-            # corpus): candidate generation would be quadratic noise.  NOT
-            # silent: logged, and the exact variant covers recall.
-            if len(ids) > MAX_LSH_BUCKET:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "LSH bucket of size %d skipped (> %d)", len(ids),
-                    MAX_LSH_BUCKET)
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                              "doc_id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        band = int(g["band_id"].iloc[0])
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[order]
+        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
+        order = order[keep_first]
+        ids = ids[keep_first]
+        if len(ids) < 2:
+            return empty
+        bh = np.stack(g["band_hashes"].to_numpy()[order])  # (B, LSH_BANDS)
+        # First colliding band per pair (vectorized over the bucket):
         ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_id_a": ids[ia], "doc_id_b": ids[ib]})
+        eq = bh[ia] == bh[ib]  # (n_pairs, LSH_BANDS)
+        first = eq.argmax(axis=1)  # first True (a colliding band exists:
+        # this bucket's band collides by construction)
+        mine = first == band
+        return pd.DataFrame({"doc_id_a": ids[ia[mine]],
+                             "doc_id_b": ids[ib[mine]]})
 
     candidates = (bands.groupby(["band_id", "band_hash"])
                   .map_groups(bucket_pairs, batch_format="pandas"))
-    cand = candidates.to_pandas().drop_duplicates().reset_index(drop=True)
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
-                             "doc_id_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=np.float64)})
 
-    # Exact verification with the reduced sets broadcast once:
+    # Dense incidence over the union vocabulary, broadcast once:
     reduced = doc_token_sets(sf_dir).to_pandas()
-    lookup_ref = broadcast({
-        int(d): np.asarray(s, dtype=np.uint64)
-        for d, s in zip(reduced["doc_id"], reduced["token_ids"])})
+    doc_ids_all = reduced["doc_id"].to_numpy()
+    sets = [np.asarray(s, dtype=np.uint64) for s in reduced["token_ids"]]
+    vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
+                                     [np.zeros(0, np.uint64)]))
+    inc = np.zeros((len(sets), max(len(vocab), 1)), dtype=np.float32)
+    for i, s in enumerate(sets):
+        if len(s):
+            inc[i, np.searchsorted(vocab, s)] = 1.0
+    row_of = {int(d): i for i, d in enumerate(doc_ids_all)}
+    sizes = inc.sum(axis=1).astype(np.float64)
+    ref = broadcast((row_of, inc, sizes))
 
     class Verify:
         def __init__(self):
-            self.sets = ray.get(lookup_ref)
+            self.row_of, self.inc, self.sizes = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jacs = np.zeros(len(batch))
-            for i, (a, b) in enumerate(zip(batch["doc_id_a"], batch["doc_id_b"])):
-                sa, sb = self.sets[int(a)], self.sets[int(b)]
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                jacs[i] = inter / union if union else 0.0
+            if len(batch) == 0:
+                out = batch.copy()
+                out["jaccard"] = pd.Series([], dtype=np.float64)
+                return out
+            ra = np.array([self.row_of[int(a)] for a in batch["doc_id_a"]])
+            rb = np.array([self.row_of[int(b)] for b in batch["doc_id_b"]])
+            inter = (self.inc[ra] * self.inc[rb]).sum(axis=1).astype(np.float64)
+            union = self.sizes[ra] + self.sizes[rb] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
             out = batch.copy()
-            out["jaccard"] = jacs
+            out["jaccard"] = jac
             return out[out["jaccard"] >= threshold]
 
-    verified = (rd.from_pandas(cand)
-                .map_batches(Verify, batch_format="pandas", batch_size=8192,
+    verified = (candidates
+                .map_batches(Verify, batch_format="pandas", batch_size=65536,
                              concurrency=(1, 4))
                 .to_pandas())
-    return verified.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    if len(verified) == 0:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                             "doc_id_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    return (verified.astype({"doc_id_a": np.int64, "doc_id_b": np.int64})
+            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

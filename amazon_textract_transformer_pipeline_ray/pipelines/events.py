@@ -140,6 +140,44 @@ def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
     return final.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
+    """Sliding 1h windows advancing every 30 min: per window start, event
+    count + sum(value).  Each event lands in exactly two windows (the two
+    30-min buckets covering it); the fan-out happens vectorized inside
+    ``map_batches`` (flat-map), followed by a partial combiner, so the
+    shuffle moves one row per (window, batch)."""
+    ds = read_table(sf_dir, "events", ["ts", "value"])
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(batch["ts"], multiple=30, unit="minute")
+        b_us = bucket.to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        cents = _cents(batch["value"])
+        half_h = np.timedelta64(30 * 60 * 1_000_000, "us")
+        starts = np.concatenate([b_us, b_us - half_h])
+        df = pd.DataFrame({
+            "window_start": starts,
+            "cents": np.concatenate([cents, cents]),
+        })
+        g = df.groupby("window_start", as_index=False).agg(
+            p_cnt=("cents", "size"), p_sum=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    final = (ds.map_batches(fanout, batch_format="pyarrow", batch_size=65536)
+             .groupby("window_start").aggregate(
+                 Sum("p_cnt", alias_name="n_events"),
+                 Sum("p_sum", alias_name="cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t["window_start"],
+            "n_events": t["n_events"],
+            "sum_value": pa.array(
+                t["cents"].to_numpy().astype(np.float64) / 100.0),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k users by total event value (small aggregate -> driver top-k)."""
     ds = read_table(sf_dir, "events", ["user_id", "value"])

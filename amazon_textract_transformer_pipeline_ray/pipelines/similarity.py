@@ -142,16 +142,128 @@ def q_embedding_dup_pairs(sf_dir: str,
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
-N_HYPERPLANES = 8
+N_IVF_LISTS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 5
+
+
+def q_embedding_knn_ivf(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    scale path past brute force: k-means centroids trained distributed
+    (per-batch partial sums -> driver Lloyd update), vectors assigned to
+    their nearest list in one ``map_batches`` pass, queries probe only the
+    IVF_NPROBE nearest lists.  Deterministic (seeded init, fixed
+    iteration count); rows-only check — recall vs exact kNN is asserted
+    in tests."""
+    qids, qm = _query_matrix(sf_dir)
+    qn = _normalize(qm)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # --- train coarse centroids (Lloyd, partial-sum pattern) -------------
+    # Seeded deterministic init: hash-spread sample of N_IVF_LISTS vectors.
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    all_ids = head.column("vec_id").to_numpy()
+    order = np.argsort((all_ids * 2654435761) % 2**32)[:N_IVF_LISTS]
+    cents = _normalize(np.asarray(
+        head.column("embedding").to_pylist(), dtype=np.float64)[order])
+
+    for _ in range(IVF_ITERS):
+        ref = broadcast(cents)
+
+        class PartialSums:
+            def __init__(self):
+                self.c = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                _, emb = _batch_matrix(batch)
+                x = _normalize(emb)
+                assign = (x @ self.c.T).argmax(axis=1)
+                sums = np.zeros_like(self.c)
+                np.add.at(sums, assign, x)
+                counts = np.bincount(assign, minlength=len(self.c))
+                return pa.table({
+                    "list_id": pa.array(np.arange(len(self.c)), pa.int32()),
+                    "vec_sum": pa.array(sums.tolist(),
+                                        pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                })
+
+        parts = ds.map_batches(PartialSums, batch_format="pyarrow",
+                               batch_size=8192, concurrency=(1, 4)).to_pandas()
+        g = parts.groupby("list_id")
+        new = cents.copy()
+        for lid, grp in g:
+            n = int(grp["n"].sum())
+            if n:
+                s = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
+                new[int(lid)] = s / np.linalg.norm(s).clip(1e-12)
+        cents = new
+
+    # --- probe: queries search only their IVF_NPROBE nearest lists -------
+    probe_lists = np.argsort(-(qn @ cents.T), axis=1)[:, :IVF_NPROBE]
+    ref_c = broadcast(cents)
+    ref_q = broadcast((qids, qn, probe_lists))
+
+    class ProbeTopK:
+        def __init__(self):
+            self.c = ray.get(ref_c)
+            self.qids, self.qn, self.probe = ray.get(ref_q)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, emb = _batch_matrix(batch)
+            x = _normalize(emb)
+            assign = (x @ self.c.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                cand = np.flatnonzero(
+                    np.isin(assign, self.probe[qi]) & (ids != qid))
+                if len(cand) == 0:
+                    continue
+                sims = x[cand] @ self.qn[qi]
+                if len(cand) > k:
+                    part = np.argpartition(-sims, k)[:k]
+                    cand, sims = cand[part], sims[part]
+                out_q.extend([qid] * len(cand))
+                out_n.extend(ids[cand].tolist())
+                out_s.extend(sims.tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            })
+
+    partials = ds.map_batches(ProbeTopK, batch_format="pyarrow",
+                              batch_size=8192, concurrency=(1, 4))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": top["query_id"].to_numpy(),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "neighbor_id": top["neighbor_id"].to_numpy(),
+        })
+
+    out = (partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+N_HYPERPLANES = 6  # bits per table
+N_LSH_TABLES = 4   # independent tables; recall ~ 1-(1-p_table)^L
 
 
 def q_embedding_knn_lsh(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    Sign-bits against N_HYPERPLANES seeded hyperplanes give a bucket id;
-    each query probes its own bucket plus all 1-bit-flip neighbors.
-    Rows-only check (approximate by design); compare recall against
-    q_embedding_knn in tests."""
+    L independent 6-bit sign-hash tables; each query probes its bucket
+    plus all 1-bit-flip neighbors in every table, and candidates are the
+    union across tables (the standard recall amplifier for weakly
+    clustered data).  Rows-only check (approximate by design); recall vs
+    q_embedding_knn is asserted in tests."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -160,16 +272,22 @@ def q_embedding_knn_lsh(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
     m = _normalize(np.asarray(t.column("embedding").to_pylist(),
                               dtype=np.float64))
     dim = m.shape[1]
-    planes = np.random.default_rng(20260817).standard_normal((dim, N_HYPERPLANES))
-    buckets = ((m @ planes) > 0).astype(np.uint32) @ (
-        1 << np.arange(N_HYPERPLANES, dtype=np.uint32))
+    rng = np.random.default_rng(20260817)
+    pow2 = 1 << np.arange(N_HYPERPLANES, dtype=np.uint32)
+    tables = []
+    for _ in range(N_LSH_TABLES):
+        planes = rng.standard_normal((dim, N_HYPERPLANES))
+        tables.append(((m @ planes) > 0).astype(np.uint32) @ pow2)
 
     qmask = ids < N_QUERIES
     rows = []
     for qi in np.flatnonzero(qmask):
-        probe = {int(buckets[qi])} | {
-            int(buckets[qi]) ^ (1 << b) for b in range(N_HYPERPLANES)}
-        cand = np.flatnonzero(np.isin(buckets, list(probe)) & (ids != ids[qi]))
+        cand_mask = np.zeros(len(ids), dtype=bool)
+        for buckets in tables:
+            probe = {int(buckets[qi])} | {
+                int(buckets[qi]) ^ (1 << b) for b in range(N_HYPERPLANES)}
+            cand_mask |= np.isin(buckets, list(probe))
+        cand = np.flatnonzero(cand_mask & (ids != ids[qi]))
         sims = m[cand] @ m[qi]
         order = np.lexsort((ids[cand], -sims))[:k]
         for rank, j in enumerate(order, 1):

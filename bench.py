@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "doc_stats_by_lang",
     "jaccard_dup_pairs",
-    "minhash_lsh_pairs",
+    "simhash_pairs",
     "embedding_knn",
 ]
 
