@@ -115,6 +115,18 @@ def _x_spans(sf_dir: str):
     return _x_turns(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
+def _x_eval_metrics(sf_dir: str):
+    """Classifier-vs-gold evaluation (reference ner.py:338-417 metric
+    definitions) as a one-row DataFrame (rows-only check)."""
+    import pandas as pd
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_eval_metrics, read_transcripts)
+
+    return pd.DataFrame([build_eval_metrics(
+        read_transcripts(_transcripts(sf_dir)))])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from amazon_textract_transformer_pipeline_ray.pipelines import (
         corpus,
@@ -132,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_fields": _x_fields,
         "x_conversations": _x_conversations,
         "x_spans": _x_spans,
+        "x_eval_metrics": _x_eval_metrics,
         # --- relational (TPC-H-ish; SQL-checked) ---
         "pricing_summary": relational.q_pricing_summary,
         "orders_by_priority": relational.q_orders_by_priority,

@@ -131,6 +131,37 @@ class EngineConfig:
         """class_id -> name for non-ignored classes (extract.py:98)."""
         return {f.class_id: f.name for f in self.fields if not f.ignore}
 
+    def to_json(self) -> str:
+        """Serialize to the reference's SSM-config JSON surface
+        (PascalCase field entries + engine knobs)."""
+        return json.dumps({
+            "Fields": [f.to_dict() for f in self.fields],
+            "NClasses": self.n_classes,
+            "MaxSeqLen": self.max_seq_len,
+            "ReviewThreshold": self.review_threshold,
+            "NumPartitions": self.num_partitions,
+            "SaltSpan": self.salt_span,
+            "CodeVersion": self.code_version,
+        }, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EngineConfig":
+        """Load from JSON — the per-request ``EntityConfig`` override path
+        (``fn-postprocess/main.py:58-74``): a bare list is treated as just
+        the field list over default engine knobs."""
+        d = json.loads(s)
+        if isinstance(d, list):  # EntityConfig-style: fields only
+            return cls(fields=[FieldConfig.from_dict(f) for f in d])
+        return cls(
+            fields=[FieldConfig.from_dict(f) for f in d["Fields"]],
+            n_classes=d.get("NClasses", N_MODEL_CLASSES),
+            max_seq_len=d.get("MaxSeqLen", 512),
+            review_threshold=d.get("ReviewThreshold", 0.5),
+            num_partitions=d.get("NumPartitions", 32),
+            salt_span=d.get("SaltSpan", 512),
+            code_version=d.get("CodeVersion", "1"),
+        )
+
     def lineage_id(self, input_fingerprint: str) -> str:
         payload = json.dumps(
             {

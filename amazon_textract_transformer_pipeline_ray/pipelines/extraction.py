@@ -87,6 +87,36 @@ def build_conversations(turns: rd.Dataset) -> rd.Dataset:
     )
 
 
+def build_eval_metrics(ds: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """Classifier quality vs parser-hint gold labels, with the reference's
+    exact metric definitions (masked per-example accuracy + focus accuracy,
+    ``notebooks/src/code/data/ner.py:338-417``) computed distributed.
+
+    In the synthetic setting the parser hint is the gold word class, so
+    this is the engine's self-evaluation harness — the analog of the
+    reference's training-time metric gate."""
+    import pyarrow as pa
+
+    from ..functions.metrics import distributed_token_metrics
+    from ..functions.turn import extract_turn
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        labels, preds = [], []
+        for payload in batch.column("text").to_pylist():
+            ext = extract_turn(payload, cfg)
+            if ext is None:
+                continue
+            labels.append(ext.blocks.hint.astype("int64").tolist())
+            preds.append(ext.pred_class.astype("int64").tolist())
+        return pa.table({
+            "labels": pa.array(labels, pa.list_(pa.int64())),
+            "pred_class": pa.array(preds, pa.list_(pa.int64())),
+        })
+
+    pairs = ds.map_batches(label_rows, batch_format="pyarrow", batch_size=512)
+    return distributed_token_metrics(pairs, cfg.n_classes)
+
+
 def run_checkpointed(
     input_files: Sequence[str],
     out_dir: str,
