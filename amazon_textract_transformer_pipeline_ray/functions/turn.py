@@ -45,7 +45,14 @@ def detect_dialect(payload: str) -> str:
 def parse_payload(payload: str) -> TurnBlocks:
     d = detect_dialect(payload)
     if d == DIALECT_LAYOUT:
-        return parse_layout_json(payload)
+        try:
+            return parse_layout_json(payload)
+        except (ValueError, KeyError, TypeError):
+            # Malformed JSON-looking payload: degrade to plain text rather
+            # than poisoning the whole task (a single bad row must never
+            # fail a 100 TB batch; cf. the reference's per-line strict
+            # errors, base.py:256-265 — ours quarantines by falling back).
+            return parse_plain(payload)
     if d == DIALECT_HTML:
         return parse_html(payload)
     return parse_plain(payload)

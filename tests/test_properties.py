@@ -1,0 +1,111 @@
+"""Property tests from SURVEY.md §5: split-invariance, salted-partition
+skew spreading, and hypothesis fuzzing of the parser/assembler contracts."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amazon_textract_transformer_pipeline_ray.config import DEFAULT_CONFIG, EngineConfig
+from amazon_textract_transformer_pipeline_ray.fixtures import gen_transcripts
+from amazon_textract_transformer_pipeline_ray.functions.assembler import assemble_turn
+from amazon_textract_transformer_pipeline_ray.functions.blocks import from_word_lists
+from amazon_textract_transformer_pipeline_ray.functions.html_parser import parse_html
+from amazon_textract_transformer_pipeline_ray.functions.turn import (
+    extract_turn,
+    parse_payload,
+)
+from amazon_textract_transformer_pipeline_ray.stages.extract import partition_for
+
+
+def test_split_invariance():
+    """max_seq_len must not change extracted text or span texts: token
+    probabilities depend only on the token's global index, so window
+    overlap from the final-window pullback averages identical vectors
+    (classifier.py logit spec; reference splitting.py:63-144)."""
+    t = gen_transcripts(200, seed=11)
+    payloads = t.column("text").to_pylist()[:120]
+    base = [extract_turn(p, EngineConfig(max_seq_len=512)) for p in payloads]
+    for msl in (32, 64, 128):
+        cfg = EngineConfig(max_seq_len=msl)
+        other = [extract_turn(p, cfg) for p in payloads]
+        for b, o in zip(base, other):
+            if b is None:
+                assert o is None
+                continue
+            assert o.extracted_text == b.extracted_text
+            assert [d.text for d in o.detections] == [d.text for d in b.detections]
+            assert [d.class_id for d in o.detections] == [
+                d.class_id for d in b.detections]
+
+
+def test_salting_spreads_mega_conversation():
+    """A conversation longer than salt_span must span several partitions
+    (explicit skew mitigation, SURVEY §7.3); short conversations stay in
+    exactly one."""
+    cfg = DEFAULT_CONFIG  # salt_span=512, num_partitions=32
+    mega_parts = {partition_for("conv-mega", tix, cfg) for tix in range(4096)}
+    assert len(mega_parts) > 4, "mega-conversation not spread"
+    short_parts = {partition_for("conv-00000042", tix, cfg) for tix in range(400)}
+    assert len(short_parts) == 1, "short conversation unnecessarily split"
+    # deterministic across calls:
+    assert partition_for("conv-mega", 1000, cfg) == partition_for(
+        "conv-mega", 1000, cfg)
+    assert all(0 <= p < cfg.num_partitions for p in mega_parts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_parser_never_crashes_and_boxes_normalized(payload):
+    tb = parse_payload(payload)
+    n = tb.n_words
+    assert len(tb.page_id) == n and len(tb.line_id) == n
+    if n:
+        assert tb.boxes01.min() >= 0.0 and tb.boxes01.max() <= 1.0
+        assert all(w for w in tb.words)  # no empty word tokens
+
+
+_tag = st.sampled_from(
+    ["p", "div", "h1", "nav", "a", "pre", "script", "em", "li", "br"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.builds(lambda t: f"<{t}>", _tag),
+        st.builds(lambda t: f"</{t}>", _tag),
+        st.text(alphabet="ab c.1-", min_size=1, max_size=12),
+        st.just("<!-- c -->"),
+    ),
+    max_size=40,
+))
+def test_html_parser_fuzz(parts):
+    tb = parse_html("".join(parts))
+    n = tb.n_words
+    assert len(tb.hint) == n and len(tb.link) == n
+    if n:
+        # line ids are non-decreasing in block order:
+        assert (np.diff(tb.line_id) >= 0).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_assembler_span_offsets_contract(data):
+    """extracted_text[start:end] == span text, for arbitrary class
+    assignments over a random word grid (the M3/E1 offset contract)."""
+    n_lines = data.draw(st.integers(1, 5))
+    line_words = [
+        data.draw(st.lists(st.text(alphabet="abcXYZ09", min_size=1, max_size=6),
+                           min_size=1, max_size=6))
+        for _ in range(n_lines)
+    ]
+    tb = from_word_lists(line_words, line_pages=[0] * n_lines)
+    n = tb.n_words
+    classes = np.array(data.draw(st.lists(
+        st.integers(-1, 6), min_size=n, max_size=n)), dtype=np.int64)
+    conf = np.full(n, 0.9)
+    out = assemble_turn(tb, classes, conf, DEFAULT_CONFIG.entity_classes)
+    for d in out.detections:
+        assert out.extracted_text[d.start:d.end] == d.text
+        assert 0 <= d.class_id < 7
+        assert (d.box[:2] <= d.box[2:]).all()
