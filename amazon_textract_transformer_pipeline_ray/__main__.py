@@ -1,0 +1,99 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+On a real cluster::
+
+    ray job submit --working-dir . -- \\
+        python -m amazon_textract_transformer_pipeline_ray run \\
+        --input 's3://bucket/transcripts/*.parquet' --out s3://bucket/turns \\
+        --num-partitions 4096
+
+Locally (Ray auto-initializes, or set RAY_ADDRESS)::
+
+    python -m amazon_textract_transformer_pipeline_ray run \\
+        --input '/data/transcripts' --out /tmp/turns
+
+Subcommands: ``run`` (checkpointed, resumable extraction — rerunning with
+the same inputs/config skips complete partitions), ``summary`` (print a
+finished run's manifest rollup), ``eval`` (classifier metrics vs gold
+hints).  This module owns the Ray session (guarded init); library code
+never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _expand_inputs(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+    hits = sorted(glob.glob(spec))
+    return hits if hits else [spec]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="amazon_textract_transformer_pipeline_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="checkpointed extraction run")
+    run.add_argument("--input", required=True,
+                     help="parquet path/glob/directory of transcripts")
+    run.add_argument("--out", required=True, help="output directory")
+    run.add_argument("--config", help="EngineConfig JSON file (optional)")
+    run.add_argument("--num-partitions", type=int, default=None)
+    run.add_argument("--batch-size", type=int, default=512)
+
+    summ = sub.add_parser("summary", help="print a run's manifest rollup")
+    summ.add_argument("--out", required=True)
+
+    ev = sub.add_parser("eval", help="classifier metrics vs gold hints")
+    ev.add_argument("--input", required=True)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import EngineConfig
+    from .state import checkpoint as ckpt
+
+    if args.cmd == "summary":
+        print(json.dumps(ckpt.run_summary(args.out)))
+        return 0
+
+    if args.cmd == "eval":
+        from .pipelines.extraction import build_eval_metrics, read_transcripts
+
+        m = build_eval_metrics(read_transcripts(_expand_inputs(args.input)))
+        print(json.dumps(m))
+        return 0
+
+    # run
+    if args.config:
+        with open(args.config) as f:
+            cfg = EngineConfig.from_json(f.read())
+    else:
+        cfg = EngineConfig()
+    if args.num_partitions is not None:
+        cfg.num_partitions = args.num_partitions
+
+    from .pipelines.extraction import run_checkpointed
+
+    summary = run_checkpointed(
+        _expand_inputs(args.input), args.out, cfg, batch_size=args.batch_size)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
