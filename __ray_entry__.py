@@ -115,6 +115,45 @@ def _x_spans(sf_dir: str):
     return _x_turns(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
+def _x_tool_stats(sf_dir: str):
+    """Per-tool rollup over tool turns (exercises the full input schema:
+    tool + ts columns; rows-only check)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_transcripts(sf_dir),
+                         columns=["role", "tool", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch["role"], "tool")
+        t = batch.filter(mask)
+        df = pd.DataFrame({
+            "tool": t.column("tool").to_pylist(),
+            "n_chars": [len(x) for x in t.column("text").to_pylist()],
+        })
+        g = df.groupby("tool", as_index=False).agg(
+            p_n=("n_chars", "size"), p_chars=("n_chars", "sum"))
+        # Explicit types so an all-filtered (empty) batch can't emit a
+        # null-typed schema that breaks block unification downstream:
+        return pa.table({
+            "tool": pa.array(g["tool"].tolist(), pa.string()),
+            "p_n": pa.array(g["p_n"].tolist(), pa.int64()),
+            "p_chars": pa.array(g["p_chars"].tolist(), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("tool").aggregate(
+               Sum("p_n", alias_name="n_turns"),
+               Sum("p_chars", alias_name="total_chars")))
+    out = agg.to_pandas()
+    out["mean_chars"] = out["total_chars"].to_numpy(
+        ).astype(np.float64) / out["n_turns"].to_numpy().astype(np.float64)
+    return out.sort_values("tool").reset_index(drop=True)
+
+
 def _x_eval_metrics(sf_dir: str):
     """Classifier-vs-gold evaluation (reference ner.py:338-417 metric
     definitions) as a one-row DataFrame (rows-only check)."""
@@ -145,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_conversations": _x_conversations,
         "x_spans": _x_spans,
         "x_eval_metrics": _x_eval_metrics,
+        "x_tool_stats": _x_tool_stats,
         # --- relational (TPC-H-ish; SQL-checked) ---
         "pricing_summary": relational.q_pricing_summary,
         "orders_by_priority": relational.q_orders_by_priority,

@@ -169,6 +169,10 @@ class EngineConfig:
                 "n_classes": self.n_classes,
                 "max_seq_len": self.max_seq_len,
                 "review_threshold": self.review_threshold,
+                # Partition layout determines which rows land in which
+                # partition — changing it MUST invalidate old manifests:
+                "num_partitions": self.num_partitions,
+                "salt_span": self.salt_span,
                 "code_version": self.code_version,
                 "input": input_fingerprint,
             },

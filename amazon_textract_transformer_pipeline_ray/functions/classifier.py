@@ -80,7 +80,12 @@ def classify_turn(
     n_tokens_total = int(counts.sum())
     token_word_ids = np.repeat(np.arange(n_words, dtype=np.int64), counts)
 
+    # Malformed enrichment values (a PredictedClass outside [0, n_classes)
+    # copied into the hint column by the layout parser) must not crash or
+    # silently wrap the logit indexing: out-of-range hints degrade to the
+    # 'other' class (frozen rule, mirrored in oracle_independent):
     hints = tb.hint.astype(np.int64)
+    hints = np.where((hints >= 0) & (hints < n_classes), hints, n_classes - 1)
     probs = token_probs(word_lengths, hints, tb.link.astype(np.float64),
                         token_word_ids, n_classes)
 
@@ -104,8 +109,9 @@ def classify_turn(
     pred_class[covered] = arg[covered].astype(np.int16)
     pred_conf[covered] = mean[np.arange(n_words), arg][covered]
 
-    # Pass through pre-annotations (dialect B enriched payloads):
-    pre = tb.pre_class >= 0
+    # Pass through pre-annotations (dialect B enriched payloads); values
+    # outside the class space are ignored, not propagated:
+    pre = (tb.pre_class >= 0) & (tb.pre_class < n_classes)
     pred_class[pre] = tb.pre_class[pre]
     pred_conf[pre] = tb.pre_conf[pre]
     return pred_class, pred_conf

@@ -128,7 +128,10 @@ def parse_html(payload: str) -> TurnBlocks:
             continue
         if name not in KNOWN_TAGS:
             continue  # unknown tag: ignored (closed vocabulary)
-        if not closing and name in RAW_SKIP_TAGS:
+        if not closing and name in RAW_SKIP_TAGS and not self_closing:
+            # (a self-closing <script/> has no body to skip — entering
+            # skip mode for it would silently swallow the whole rest of
+            # the document)
             skip_until = name
             continue
         if name in BLOCK_TAGS:

@@ -40,6 +40,10 @@ def token_classification_metrics(
     n_correct_by_ex = np.logical_and(labels == pred, non_pad).sum(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         acc_by_ex = np.true_divide(n_correct_by_ex, n_tokens_by_ex)
+    # All-PAD examples contribute 0 (the reference would propagate NaN
+    # through the mean here — documented divergence, keeps the value
+    # finite and matches distributed_token_metrics):
+    acc_by_ex = np.nan_to_num(acc_by_ex, nan=0.0)
 
     focus = np.logical_and(non_pad, np.logical_or(labels != other, pred != other))
     n_focus_by_ex = focus.sum(axis=1)

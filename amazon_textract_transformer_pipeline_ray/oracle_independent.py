@@ -114,7 +114,7 @@ def _parse_html_words(payload: str) -> _Words:
             continue
         if name not in _KNOWN:
             continue
-        if not closing and name in _RAW_SKIP:
+        if not closing and name in _RAW_SKIP and not selfclosing:
             skip_until = name
             continue
         if name in _BLOCK_TAGS:
@@ -314,12 +314,15 @@ def _classify(t: _Turn, n_classes: int, max_seq_len: int):
     acc: dict[int, list[np.ndarray]] = {}
     for ws, we in windows:
         for wi in range(ws, we):
+            hint = t.hint[wi]
+            if not (0 <= hint < n_classes):  # malformed enrichment -> other
+                hint = n_classes - 1
             for k in range(n_tok[wi]):
                 gix = word_start[wi] + k
                 logits = np.zeros(n_classes)
                 base = 2.0 + 0.15 * min(len(t.words[wi]), 8) \
                     + 0.05 * ((gix % 5) - 2)
-                logits[t.hint[wi]] = base
+                logits[hint] = base
                 logits[n_classes - 1] += 0.8 * t.link[wi]
                 e = np.exp(logits - logits.max())
                 acc.setdefault(wi, []).append(e / e.sum())
@@ -332,7 +335,7 @@ def _classify(t: _Turn, n_classes: int, max_seq_len: int):
         pred_class[wi] = arg
         pred_conf[wi] = float(mean[arg])
     for wi in range(n):
-        if t.pre_class[wi] >= 0:
+        if 0 <= t.pre_class[wi] < n_classes:
             pred_class[wi] = t.pre_class[wi]
             pred_conf[wi] = t.pre_conf[wi]
     return pred_class, pred_conf

@@ -135,20 +135,27 @@ def run_checkpointed(
     """
     fingerprint = ckpt.input_fingerprint(input_files)
     lineage = cfg.lineage_id(fingerprint)
+    ckpt.prune_stale(out_dir, lineage, cfg.num_partitions)
     done = ckpt.load_complete_partitions(out_dir, lineage)
     todo = frozenset(range(cfg.num_partitions)) - frozenset(done)
     data_dir = os.path.join(out_dir, "data")
     if not todo:
         return ckpt.run_summary(out_dir)
 
-    # Clear partial output of unfinished partitions (crash-safety: a
-    # manifest is only written after its partition's data is fully
-    # written, so anything without a manifest is safe to redo):
+    # Clear every partition dir not committed under THIS lineage — that
+    # covers unfinished partitions (crash-safety: a manifest is only
+    # written after its partition's data is fully written), stale
+    # partitions of a previous config, and out-of-range ids from a larger
+    # previous num_partitions:
+    import glob as _glob
     import shutil
 
-    for pid in todo:
-        pdir = os.path.join(data_dir, f"partition_id={pid}")
-        if os.path.isdir(pdir):
+    for pdir in _glob.glob(os.path.join(data_dir, "partition_id=*")):
+        try:
+            pid = int(pdir.rsplit("=", 1)[1])
+        except ValueError:
+            pid = -1
+        if pid not in done:
             shutil.rmtree(pdir)
 
     ds = read_transcripts(list(input_files))
@@ -163,18 +170,37 @@ def run_checkpointed(
     turns.write_parquet(data_dir, partition_cols=["partition_id"])
 
     # Per-partition metrics: a column-pruned distributed aggregate over the
-    # written output (only the two small metric columns leave storage; the
-    # hive partition column is virtual):
-    written = rd.read_parquet(data_dir, columns=[
-        "partition_id", "n_spans", "boilerplate_ratio"])
+    # freshly-written partitions ONLY (their directories are passed
+    # explicitly, with hive parsing rooted at data_dir so the virtual
+    # partition_id column survives) — already-complete partitions keep
+    # their manifests and are not re-read on resume:
+    from ray.data.datasource.partitioning import Partitioning
+
+    todo_dirs = [
+        f for pid in todo
+        for f in _glob.glob(
+            os.path.join(data_dir, f"partition_id={pid}", "*.parquet"))
+    ]
+    if todo_dirs:
+        written = rd.read_parquet(
+            todo_dirs,
+            columns=["partition_id", "n_spans", "boilerplate_ratio"],
+            partitioning=Partitioning("hive", base_dir=data_dir))
     from ray.data.aggregate import Count, Mean, Sum
 
-    stats = written.groupby("partition_id").aggregate(
-        Count(alias_name="turns_processed"),
-        Sum("n_spans", alias_name="span_count"),
-        Mean("boilerplate_ratio", alias_name="boilerplate_ratio"),
-    ).to_pandas()
     seen = set()
+    if todo_dirs:
+        stats = written.groupby("partition_id").aggregate(
+            Count(alias_name="turns_processed"),
+            Sum("n_spans", alias_name="span_count"),
+            Mean("boilerplate_ratio", alias_name="boilerplate_ratio"),
+        ).to_pandas()
+    else:  # every todo partition produced zero rows
+        import pandas as pd
+
+        stats = pd.DataFrame(columns=[
+            "partition_id", "turns_processed", "span_count",
+            "boilerplate_ratio"])
     for row in stats.itertuples(index=False):
         pid = int(row.partition_id)
         seen.add(pid)

@@ -60,14 +60,15 @@ def make_extract_fn(cfg=None, emit: str = "turns",
     variant (``TurnExtractor`` as a class UDF) when the per-worker state is
     genuinely expensive (a real model) — see pipelines.extraction.build_turns.
     """
-    key = (id(cfg), emit, with_partition_id,
+    # Content-derived cache key: id(cfg) would alias a mutated config or a
+    # reused address to a stale worker-side extractor.
+    key = (None if cfg is None else cfg.to_json(), emit, with_partition_id,
            tuple(sorted(only_partitions)) if only_partitions else None)
-    cfg_dict = None if cfg is None else cfg
 
     def extract_fn(batch):
         ex = _PROCESS_EXTRACTORS.get(key)
         if ex is None:
-            ex = TurnExtractor(cfg_dict, emit, with_partition_id, only_partitions)
+            ex = TurnExtractor(cfg, emit, with_partition_id, only_partitions)
             _PROCESS_EXTRACTORS[key] = ex
         return ex(batch)
 

@@ -34,7 +34,11 @@ def input_fingerprint(paths: Iterable[str]) -> str:
     h = hashlib.sha256()
     for p in sorted(paths):
         h.update(p.encode())
-        h.update(str(os.path.getsize(p)).encode())
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            size = -1  # non-local filesystem (s3:// etc.): identity by path
+        h.update(str(size).encode())
     return h.hexdigest()[:16]
 
 
@@ -59,6 +63,33 @@ def load_complete_partitions(out_dir: str, lineage_id: str) -> set[int]:
         if m.get("status") == "complete" and m.get("lineage_id") == lineage_id:
             done.add(int(m["partition_id"]))
     return done
+
+
+def prune_stale(out_dir: str, lineage_id: str, num_partitions: int) -> set[int]:
+    """Delete manifests that do not belong to this lineage (config/input
+    changed) or whose partition id is outside the current layout.  Returns
+    the pruned ids so the caller can clear their data directories too —
+    without this, shrinking num_partitions would leave old-config rows on
+    disk that the stats pass would re-commit under the new lineage."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    pruned: set[int] = set()
+    if not os.path.isdir(mdir):
+        return pruned
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        path = os.path.join(mdir, name)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+            pid = int(m["partition_id"])
+        except (OSError, json.JSONDecodeError, KeyError, ValueError):
+            os.remove(path)
+            continue
+        if m.get("lineage_id") != lineage_id or pid >= num_partitions:
+            os.remove(path)
+            pruned.add(pid)
+    return pruned
 
 
 def write_manifest(
