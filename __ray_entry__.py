@@ -208,7 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (SQL-checked unless noted) ---
         "doc_stats_by_lang": text.q_doc_stats_by_lang,
         "token_totals": text.q_token_totals,
+        "token_totals_bpe": text.q_token_totals_bpe,
         "doc_fingerprint": text.q_doc_fingerprint,
+        "doc_fingerprint_rolling": text.q_doc_fingerprint_rolling,  # rows-only
         "doc_dedup_exact": text.q_doc_dedup_exact,
         "doc_quality": text.q_doc_quality,
         "doc_langid": text.q_doc_langid,  # heuristic; rows-only
@@ -384,6 +386,14 @@ def _sql_registry() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "token_totals_bpe": """
+            SELECT lang,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT)
+                       AS total_pieces,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
         """,
         "doc_dedup_exact": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

@@ -79,6 +79,86 @@ def q_token_totals(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([agg])
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits,
+# restricted to ASCII classes so Python re and DuckDB RE2 agree exactly;
+# shared with the SQL oracle):
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def q_token_totals_bpe(sf_dir: str) -> rd.Dataset:
+    """Per language: BPE-ish subword-piece counts (the regex
+    pre-tokenization stage of a GPT-2-style tokenizer) — complements the
+    whitespace counting of q_token_totals."""
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        counts = np.array(
+            [len(_BPE_RE.findall(t)) for t in batch.column("text").to_pylist()],
+            dtype=np.int64)
+        return pa.table({"lang": batch["lang"],
+                         "n_pieces": pa.array(counts)})
+
+    return (ds.map_batches(toks, batch_format="pyarrow", batch_size=8192)
+            .groupby("lang").aggregate(
+                Sum("n_pieces", alias_name="total_pieces"),
+                Count(alias_name="n_docs")))
+
+
+# Polynomial rolling hash (Rabin-Karp) over the document bytes — the
+# incremental-fingerprint primitive used by winnowing-style document
+# fingerprinting; deterministic across processes.
+_RH_BASE = np.uint64(257)
+_RH_MOD = np.uint64(1_000_000_007)
+
+
+_RH_POWS = np.ones(1, dtype=np.uint64)  # grown on demand, worker-local
+
+
+def _rh_pows(n: int) -> np.ndarray:
+    """BASE^i mod MOD for i in [0, n) — extended incrementally, cached."""
+    global _RH_POWS
+    if len(_RH_POWS) < n:
+        old = _RH_POWS
+        grown = np.empty(n, dtype=np.uint64)
+        grown[:len(old)] = old
+        for i in range(len(old), n):
+            grown[i] = (grown[i - 1] * _RH_BASE) % _RH_MOD
+        _RH_POWS = grown
+    return _RH_POWS[:n]
+
+
+def rolling_fingerprint(text: str) -> int:
+    """h = sum(byte_i * BASE^(n-1-i)) mod MOD, fully vectorized: each term
+    < 2^38 and partial sums stay < 2^63 for any realistic doc length, so
+    one multiply-sum + one mod suffices."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n == 0:
+        return 0
+    pows = _rh_pows(n)[::-1]
+    return int((data * pows).sum() % _RH_MOD)
+
+
+class RollingFingerprinter:
+    """Actor-pool stage computing the Rabin-Karp fingerprint per doc
+    (power table built lazily once per worker — A1-style amortized state)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [rolling_fingerprint(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "rolling_fp": pa.array(np.array(fps, dtype=np.uint64)),
+        })
+
+
+def q_doc_fingerprint_rolling(sf_dir: str) -> rd.Dataset:
+    """Per-document polynomial rolling-hash fingerprint (rows-only)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RollingFingerprinter, batch_format="pyarrow",
+                          batch_size=8192, concurrency=(1, 4))
+
+
 def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Deterministic per-document content fingerprint (md5 of the raw
     text) — the exact-dedup / lineage key."""
