@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,       # rows-only
         "simhash": dedup.q_simhash,                           # rows-only
         "simhash_pairs": dedup.q_simhash_pairs,               # rows-only
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,   # rows-only
         # --- similarity search ---
         "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
         "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked

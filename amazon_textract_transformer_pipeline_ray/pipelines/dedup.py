@@ -280,6 +280,59 @@ def q_minhash_lsh_pairs(sf_dir: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
+WINNOW_K = 8   # k-gram length (chars)
+WINNOW_W = 16  # winnowing window (t = W + K - 1 guarantee threshold)
+
+
+def winnow_fingerprints(text: str) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every K-char-gram, then keep the minimum hash of each
+    sliding window of W consecutive k-gram hashes (rightmost minimum on
+    ties).  Guarantees every substring match of length >= W + K - 1 shares
+    a fingerprint.  Returns the sorted distinct selected hashes."""
+    data = text.encode("utf-8")
+    n = len(data) - WINNOW_K + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # Vectorized polynomial k-gram hashes (exact, no mod: 8 bytes * 2^56
+    # max fits u64 with base 31):
+    base = np.uint64(31)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(WINNOW_K):
+        h = h * base + arr[j:j + n]
+    if n <= WINNOW_W:
+        return np.unique(h[[int(np.flatnonzero(h == h.min())[-1])]])
+    # Sliding-window minimum via stride tricks (W is small):
+    win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+    mins = win.min(axis=1)
+    # rightmost position of the min within each window:
+    rev_argmin = WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)
+    sel = np.unique(np.arange(len(win)) + rev_argmin)
+    return np.unique(h[sel][np.isin(h[sel], mins)])
+
+
+class Winnower:
+    """Actor-pool stage: doc -> winnowing fingerprint set (list<uint64>)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [winnow_fingerprints(t).tolist()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprints": pa.array(fps, pa.list_(pa.uint64())),
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int32()),
+        })
+
+
+def q_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Per-document winnowing fingerprint sets (rows-only; the
+    match-guarantee property is asserted in tests)."""
+    return (read_table(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(Winnower, batch_format="pyarrow", batch_size=4096,
+                         concurrency=(1, 4)))
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over crc32-seeded token hashes weighted by count."""
     toks = _tokens(text)

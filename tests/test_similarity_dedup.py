@@ -60,3 +60,26 @@ def test_minhash_finds_exact_jaccard_pairs(ray_session):
     assert ap <= ex | ap  # (sanity) all LSH pairs verified >= threshold
     for j in lsh["jaccard"]:
         assert j >= dedup.JACCARD_THRESHOLD
+
+
+def test_winnowing_guarantee(ray_session):
+    """Any substring match of length >= W + K - 1 must share a
+    fingerprint (the winnowing paper's detection guarantee)."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.dedup import (
+        WINNOW_K, WINNOW_W, q_winnow_fingerprints, winnow_fingerprints)
+
+    t = WINNOW_W + WINNOW_K - 1
+    rng = np.random.default_rng(3)
+    alphabet = list("abcdefgh ")
+    for _ in range(20):
+        shared = "".join(rng.choice(alphabet, t + 10))
+        pa_, pb = ("".join(rng.choice(alphabet, 30)) for _ in range(2))
+        fa = winnow_fingerprints(pa_ + shared)
+        fb = winnow_fingerprints(pb + shared + "tail")
+        assert len(np.intersect1d(fa, fb)) > 0
+
+    out = q_winnow_fingerprints(SF)
+    df = out.to_pandas()
+    assert len(df) == 500 and (df["n_fingerprints"] > 0).all()
