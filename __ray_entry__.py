@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
         "embedding_knn_lsh": similarity.q_embedding_knn_lsh,  # rows-only
         "embedding_knn_ivf": similarity.q_embedding_knn_ivf,  # rows-only
+        "embedding_dup_pairs_lsh": similarity.q_embedding_dup_pairs_lsh,  # rows-only
         # --- multimodal plumbing (fake codec; rows-only) ---
         "media_features": multimodal.q_media_features,
         "media_frame_pipeline": multimodal.q_media_frame_pipeline,

@@ -142,6 +142,66 @@ def q_embedding_dup_pairs(sf_dir: str,
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
+def q_embedding_dup_pairs_lsh(sf_dir: str,
+                              threshold: float = DUP_COSINE) -> pd.DataFrame:
+    """Near-duplicate pairs via multi-table hyperplane-LSH bucketing — the
+    scale path past the O(n^2) blockwise variant: candidates are
+    same-bucket pairs (union over L tables, emitted once from the first
+    table where they collide), verified exactly against the broadcast
+    normalized matrix.  Rows-only; recall vs q_embedding_dup_pairs is
+    asserted in tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = _normalize(np.asarray(t.column("embedding").to_pylist(),
+                              dtype=np.float64))
+    # Dup detection wants high recall at high cosine: short hashes (4 bit)
+    # x more tables (8) — at threshold 0.95 the per-table collision
+    # probability is ~0.65, so P[miss] ~ (1-0.65)^8 < 2e-4:
+    n_bits, n_tables = 4, 8
+    rng = np.random.default_rng(20260817)
+    pow2 = 1 << np.arange(n_bits, dtype=np.uint32)
+    buckets = []
+    for _ in range(n_tables):
+        planes = rng.standard_normal((m.shape[1], n_bits))
+        buckets.append(((m @ planes) > 0).astype(np.uint32) @ pow2)
+    bh = np.stack(buckets, axis=1)  # (n, L)
+
+    pairs_a, pairs_b = [], []
+    for table_ix in range(n_tables):
+        key = bh[:, table_ix]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        bounds = np.concatenate([starts, [len(ks)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            members = order[s:e]
+            ia, ib = np.triu_indices(len(members), k=1)
+            a, b = members[ia], members[ib]
+            # emit once: only when this is the FIRST table where they collide
+            eq = bh[a] == bh[b]
+            mine = eq.argmax(axis=1) == table_ix
+            pairs_a.append(a[mine])
+            pairs_b.append(b[mine])
+    if pairs_a:
+        a = np.concatenate(pairs_a)
+        b = np.concatenate(pairs_b)
+        sims = np.einsum("ij,ij->i", m[a], m[b])
+        keep = sims >= threshold
+        va, vb = ids[a[keep]], ids[b[keep]]
+        out = pd.DataFrame({"vec_id_a": np.minimum(va, vb),
+                            "vec_id_b": np.maximum(va, vb)})
+        out = out.drop_duplicates()
+    else:
+        out = pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+    return (out.astype({"vec_id_a": np.int64, "vec_id_b": np.int64})
+            .sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True))
+
+
 N_IVF_LISTS = 16
 IVF_NPROBE = 4
 IVF_ITERS = 5

@@ -1,0 +1,39 @@
+"""CLI surface (run / summary / eval) driven in-process."""
+
+import json
+
+from amazon_textract_transformer_pipeline_ray.__main__ import main
+from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
+
+
+def test_cli_run_summary_eval(ray_session, tmp_path, capsys):
+    inputs_dir = str(tmp_path / "in")
+    write_transcripts(inputs_dir, 300, n_shards=2)
+    out = str(tmp_path / "out")
+
+    assert main(["run", "--input", inputs_dir, "--out", out,
+                 "--num-partitions", "4"]) == 0
+    run_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert run_summary["partitions"] == 4
+    assert run_summary["turns_processed"] > 0
+
+    assert main(["summary", "--out", out]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s == run_summary
+
+    assert main(["eval", "--input", inputs_dir]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_examples"] == run_summary["turns_processed"]
+
+
+def test_cli_config_file(ray_session, tmp_path, capsys):
+    from amazon_textract_transformer_pipeline_ray.config import EngineConfig
+
+    inputs_dir = str(tmp_path / "in")
+    write_transcripts(inputs_dir, 200, n_shards=1)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(EngineConfig(num_partitions=2).to_json())
+    assert main(["run", "--input", inputs_dir, "--out", str(tmp_path / "o"),
+                 "--config", str(cfg_path)]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["partitions"] == 2

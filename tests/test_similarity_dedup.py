@@ -83,3 +83,18 @@ def test_winnowing_guarantee(ray_session):
     out = q_winnow_fingerprints(SF)
     df = out.to_pandas()
     assert len(df) == 500 and (df["n_fingerprints"] > 0).all()
+
+
+def test_embedding_dup_lsh_recall(ray_session):
+    """LSH-bucketed near-dup recall vs the exact blockwise variant, at a
+    threshold low enough that the synthetic corpus contains pairs."""
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    thr = 0.45
+    exact = similarity.q_embedding_dup_pairs(SF, threshold=thr)
+    approx = similarity.q_embedding_dup_pairs_lsh(SF, threshold=thr)
+    ex = {(a, b) for a, b in zip(exact["vec_id_a"], exact["vec_id_b"])}
+    ap = {(a, b) for a, b in zip(approx["vec_id_a"], approx["vec_id_b"])}
+    assert ex, "test corpus should contain pairs at this threshold"
+    assert ap <= ex  # exact verification -> no false positives
+    assert len(ap & ex) / len(ex) >= 0.5
