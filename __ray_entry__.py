@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events.q_events_hourly,
         "events_sessionize": events.q_events_sessionize,
         "events_asof_orders": events.q_events_asof_orders,
+        "events_asof_orders_bucketed": events.q_events_asof_orders_bucketed,
         "events_top_users": events.q_events_top_users,
         "events_type_stats": events.q_events_type_stats,
         "events_sliding_window": events.q_events_sliding_window,
@@ -336,6 +337,24 @@ def _sql_registry() -> dict[str, str]:
             FROM g GROUP BY user_id
         """,
         "events_asof_orders": f"""
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice
+                FROM orders GROUP BY o_custkey, o_orderdate),
+            m AS (
+                SELECT e.event_type, o.o_totalprice
+                FROM events e ASOF LEFT JOIN o1 o
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(o_totalprice) AS BIGINT) AS n_matched,
+                   CASE WHEN COUNT(o_totalprice) = 0 THEN NULL
+                        ELSE (CAST(SUM({cents.format(col='o_totalprice')})
+                                   AS DOUBLE) / 100.0)
+                             / CAST(COUNT(o_totalprice) AS DOUBLE)
+                   END AS avg_matched_price
+            FROM m GROUP BY event_type
+        """,
+        "events_asof_orders_bucketed": f"""
             WITH o1 AS (
                 SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice
                 FROM orders GROUP BY o_custkey, o_orderdate),

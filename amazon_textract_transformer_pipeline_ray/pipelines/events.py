@@ -140,6 +140,102 @@ def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
     return final.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_asof_orders_bucketed(sf_dir: str, n_buckets: int = 32) -> rd.Dataset:
+    """Both-sides-big as-of join: BOTH tables are hash-bucketed by user
+    key (one shuffle groupby over the union), and ``merge_asof`` runs per
+    bucket inside ``map_groups`` — the scale path when neither side fits
+    a broadcast.  Result is identical to the broadcast variant
+    (``q_events_asof_orders``) and checked against the same SQL oracle."""
+    import zlib
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderdate", "o_totalprice"])
+    events = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user": batch["o_custkey"].to_numpy().astype(np.int64),
+            "ts": batch["o_orderdate"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]"),
+            "price_cents": _cents(batch["o_totalprice"]),
+        })
+        # pre-dedup per (user, ts) inside the batch (max price) — the
+        # cross-batch dedup happens in the bucket fn:
+        g = df.groupby(["user", "ts"], as_index=False).agg(
+            price_cents=("price_cents", "max"))
+        g["side"] = "o"
+        g["event_type"] = ""
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user": batch["user_id"].to_numpy().astype(np.int64),
+            "ts": batch["ts"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]"),
+            "price_cents": np.zeros(batch.num_rows, dtype=np.int64),
+            "side": "e",
+            "event_type": batch["event_type"].to_pylist(),
+        })
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    unioned = (orders.map_batches(order_rows, batch_format="pyarrow",
+                                  batch_size=65536)
+               .union(events.map_batches(event_rows, batch_format="pyarrow",
+                                         batch_size=65536)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        users = batch.column("user").to_numpy()
+        b = np.array([zlib.crc32(str(u).encode()) % n_buckets for u in users],
+                     dtype=np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = unioned.map_batches(add_bucket, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "o"]
+        e = g[g["side"] == "e"]
+        if len(e) == 0:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "p_events": pd.Series([], dtype=np.int64),
+                                 "p_matched": pd.Series([], dtype=np.int64),
+                                 "p_price": pd.Series([], dtype=np.int64)})
+        o = (o.groupby(["user", "ts"], as_index=False)
+             .agg(price_cents=("price_cents", "max"))
+             .sort_values("ts", kind="mergesort"))
+        e = e.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(e[["user", "ts", "event_type"]], o,
+                          on="ts", by="user", direction="backward")
+        out = m.groupby("event_type", as_index=False).agg(
+            p_events=("ts", "size"),
+            p_matched=("price_cents", "count"),
+            p_price=("price_cents", "sum"))
+        out["p_price"] = out["p_price"].fillna(0).astype(np.int64)
+        out["p_matched"] = out["p_matched"].astype(np.int64)
+        return out
+
+    partials = bucketed.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas")
+    final = partials.groupby("event_type").aggregate(
+        Sum("p_events", alias_name="n_events"),
+        Sum("p_matched", alias_name="n_matched"),
+        Sum("p_price", alias_name="cents"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_matched"].to_numpy().astype(np.float64)
+        dollars = t["cents"].to_numpy().astype(np.float64) / 100.0
+        avg = [float(d / nn) if nn > 0 else None for d, nn in zip(dollars, n)]
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "n_matched": t["n_matched"],
+            "avg_matched_price": pa.array(avg, pa.float64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
     """Sliding 1h windows advancing every 30 min: per window start, event
     count + sum(value).  Each event lands in exactly two windows (the two
