@@ -9,7 +9,7 @@ Scale notes
   This is exhaustive (matches the SQL oracle bit-for-bit) and right for
   corpora whose *reduced* form fits a worker; at 10^9-doc scale you switch
   to the LSH variant below (candidate generation without the quadratic).
-* ``q_minhash_lsh_pairs``: shingle -> 64 minhashes -> 16 bands x 4 rows ->
+* ``q_minhash_lsh_pairs``: shingle -> 64 minhashes -> 8 bands x 8 rows ->
   band-bucket groupby -> candidate pairs (each emitted once, from its
   first colliding band) -> vectorized exact-Jaccard verification.
   Probabilistic recall (no SQL oracle; rows-only check).  NOTE: the
@@ -40,7 +40,10 @@ from .text import _WS_RE
 JACCARD_THRESHOLD = 0.9  # near-duplicate bar (the synthetic docs share a
 # tiny vocabulary, so lower bars match most pairs)
 MINHASH_PERMS = 64
-LSH_BANDS = 16  # x 4 rows/band
+LSH_BANDS = 8  # x 8 rows/band: P[candidate] = 1-(1-j^8)^8 — still ~0.99
+# recall at j=0.9, but ambient (j~0.6) pairs collide ~10x less than 16x4
+# banding, which shrinks bucket sizes and the quadratic enumeration cost
+# on duplicate-heavy corpora
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
 
@@ -198,8 +201,8 @@ def q_minhash_lsh_pairs(sf_dir: str,
     a dense doc x vocab incidence matrix is broadcast once; each batch of
     pairs verifies with one vectorized gather-multiply-sum — exact
     integer intersections, f64 division, identical to the SQL oracle's
-    arithmetic.  Probabilistic recall (P[miss] = (1 - t^4)^16 per pair at
-    Jaccard t; ~2e-8 at t=0.9) — rows-only driver check; recall vs the
+    arithmetic.  Probabilistic recall (P[miss] = (1 - t^8)^8 per pair at
+    Jaccard t; ~1% at t=0.9, vanishing above) — rows-only driver check; recall vs the
     exact variant is asserted in tests."""
     bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(MinHasher, batch_format="pyarrow",
