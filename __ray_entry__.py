@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_rolling": text.q_doc_fingerprint_rolling,  # rows-only
         "doc_dedup_exact": text.q_doc_dedup_exact,
         "doc_quality": text.q_doc_quality,
+        "doc_length_quantiles": text.q_doc_length_quantiles,
         "doc_langid": text.q_doc_langid,  # heuristic; rows-only
         # --- dedup suite ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,       # SQL-checked
@@ -407,6 +408,15 @@ def _sql_registry() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "doc_length_quantiles": """
+            WITH a AS (
+                SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99])
+                    AS vs
+                FROM documents)
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(vs) AS value
+            FROM a
         """,
         "token_totals_bpe": """
             SELECT lang,

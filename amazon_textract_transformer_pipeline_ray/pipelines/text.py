@@ -79,6 +79,48 @@ def q_token_totals(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([agg])
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT quantiles (linear interpolation, quantile_cont semantics) of
+    document length, computed distributed without a global sort: per-batch
+    value counts -> keyed sum -> the small distinct-value histogram comes
+    to the driver, where cumulative counts locate the interpolation
+    endpoints.  Scale shape: the shuffle moves one row per (distinct
+    length, batch) — never a row per document."""
+    ds = read_table(sf_dir, "documents", ["n_chars"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(batch.column("n_chars").to_numpy(),
+                               return_counts=True)
+        return pa.table({"value": pa.array(vals.astype(np.int64)),
+                         "p_cnt": pa.array(cnts.astype(np.int64))})
+
+    hist = (ds.map_batches(counts, batch_format="pyarrow", batch_size=65536)
+            .groupby("value").aggregate(Sum("p_cnt", alias_name="cnt"))
+            .to_pandas().sort_values("value").reset_index(drop=True))
+    values = hist["value"].to_numpy(dtype=np.float64)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+
+    def value_at(ix: int) -> float:
+        return float(values[np.searchsorted(cum, ix + 1)])
+
+    rows = []
+    for q in QUANTILES:
+        if n == 0:
+            rows.append((q, float("nan")))
+            continue
+        h = (n - 1) * q  # quantile_cont's interpolation position
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        frac = h - lo
+        v = value_at(lo) + frac * (value_at(hi) - value_at(lo))
+        rows.append((q, v))
+    return pd.DataFrame(rows, columns=["q", "value"])
+
+
 # BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct splits,
 # restricted to ASCII classes so Python re and DuckDB RE2 agree exactly;
 # shared with the SQL oracle):
