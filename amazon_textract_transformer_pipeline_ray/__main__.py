@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     summ = sub.add_parser("summary", help="print a run's manifest rollup")
     summ.add_argument("--out", required=True)
 
+    conv = sub.add_parser(
+        "conversations",
+        help="write the conversation rollup of a finished run")
+    conv.add_argument("--out", required=True)
+
     ev = sub.add_parser("eval", help="classifier metrics vs gold hints")
     ev.add_argument("--input", required=True)
 
@@ -69,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "summary":
         print(json.dumps(ckpt.run_summary(args.out)))
+        return 0
+
+    if args.cmd == "conversations":
+        from .pipelines.extraction import write_conversations
+
+        print(json.dumps(write_conversations(args.out)))
         return 0
 
     if args.cmd == "eval":

@@ -224,3 +224,32 @@ def run_checkpointed(
 def read_turns_output(out_dir: str) -> rd.Dataset:
     """Read back a checkpointed run's turns table (hive-partitioned)."""
     return rd.read_parquet(os.path.join(out_dir, "data"))
+
+
+def write_conversations(out_dir: str) -> dict:
+    """Conversation-level rollup of a finished checkpointed run, written
+    next to the turns table (``out_dir/conversations/``).
+
+    The rollup is the engine's one semantic shuffle (groupby(conv_id) +
+    in-group sort(turn_idx)); input is column-pruned to the lean digest
+    projection before the shuffle (stages/conversation.py scale note).
+    Idempotent: derived purely from the committed turns table."""
+    turns = rd.read_parquet(
+        os.path.join(out_dir, "data"),
+        columns=["conv_id", "turn_idx", "n_words", "boilerplate_ratio",
+                 "n_spans", "review_needed", "extracted_text"])
+    conv_dir = os.path.join(out_dir, "conversations")
+    import shutil
+
+    shutil.rmtree(conv_dir, ignore_errors=True)
+    build_conversations(turns).write_parquet(conv_dir)
+    out = rd.read_parquet(conv_dir)
+    from ray.data.aggregate import Count, Sum
+
+    agg = out.aggregate(
+        Count(alias_name="n_conversations"),
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_review_needed", alias_name="n_review_needed"))
+    return {"n_conversations": int(agg["n_conversations"]),
+            "n_turns": int(agg["n_turns"]),
+            "n_review_needed": int(agg["n_review_needed"])}

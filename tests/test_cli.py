@@ -37,3 +37,23 @@ def test_cli_config_file(ray_session, tmp_path, capsys):
                  "--config", str(cfg_path)]) == 0
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["partitions"] == 2
+
+
+def test_cli_conversations(ray_session, tmp_path, capsys):
+    inputs_dir = str(tmp_path / "in")
+    write_transcripts(inputs_dir, 300, n_shards=2)
+    out = str(tmp_path / "out")
+    assert main(["run", "--input", inputs_dir, "--out", out,
+                 "--num-partitions", "4"]) == 0
+    run_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main(["conversations", "--out", out]) == 0
+    c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c["n_turns"] == run_summary["turns_processed"]
+    assert 0 < c["n_conversations"] <= c["n_turns"]
+
+    import ray.data as rd
+
+    convs = rd.read_parquet(out + "/conversations").to_pandas()
+    assert bool(convs["turns_unique_ordered"].all())
+    assert len(convs) == c["n_conversations"]
