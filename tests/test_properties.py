@@ -109,3 +109,44 @@ def test_assembler_span_offsets_contract(data):
         assert out.extracted_text[d.start:d.end] == d.text
         assert 0 <= d.class_id < 7
         assert (d.box[:2] <= d.box[2:]).all()
+
+
+_block = st.deferred(lambda: st.fixed_dictionaries(
+    {"Id": st.text(alphabet="abc123", min_size=1, max_size=4),
+     "BlockType": st.sampled_from(["PAGE", "LINE", "WORD", "JUNK"])},
+    optional={
+        "Text": st.text(alphabet="xyz 9", max_size=8),
+        "Confidence": st.floats(0, 100, allow_nan=False),
+        "PredictedClass": st.integers(-5, 70),
+        "Geometry": st.fixed_dictionaries({
+            "BoundingBox": st.fixed_dictionaries({
+                "Left": st.floats(-0.2, 1.2, allow_nan=False),
+                "Top": st.floats(-0.2, 1.2, allow_nan=False),
+                "Width": st.floats(0, 1.2, allow_nan=False),
+                "Height": st.floats(0, 1.2, allow_nan=False)})}),
+        "Relationships": st.lists(st.fixed_dictionaries({
+            "Type": st.sampled_from(["CHILD", "OTHER"]),
+            "Ids": st.lists(st.text(alphabet="abc123", min_size=1,
+                                    max_size=4), max_size=4)}), max_size=2),
+    }))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_block, max_size=12))
+def test_layout_parser_fuzz(blocks):
+    """Arbitrary (even malformed) Textract-shaped block soup must never
+    crash the pipeline path: parse falls back / degrades, invariants hold."""
+    import json as _json
+
+    payload = _json.dumps({"DocumentMetadata": {"Pages": 1},
+                           "Blocks": blocks})
+    from amazon_textract_transformer_pipeline_ray.config import DEFAULT_CONFIG
+    from amazon_textract_transformer_pipeline_ray.functions.turn import (
+        extract_turn)
+
+    got = extract_turn(payload, DEFAULT_CONFIG)
+    if got is not None:
+        assert got.n_words > 0
+        assert len(got.extracted_text) >= 0
+        for d in got.detections:
+            assert got.extracted_text[d.start:d.end] == d.text
