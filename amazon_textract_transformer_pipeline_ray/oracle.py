@@ -6,6 +6,11 @@ under stable turn ordering (the north-rule correctness gate, SURVEY.md §5).
 Any mismatch isolates a fault in the distributed orchestration (batching,
 window fan-out, ordering, partitioning), because the per-turn kernels are
 the frozen shared spec pinned separately by hand-computed unit tests.
+
+Complementary gate: ``oracle_independent.py`` re-implements the whole
+frozen spec loop-style with NO shared kernel code, so kernel bugs are
+caught by engine-vs-independent divergence while orchestration bugs are
+caught here — two oracles, disjoint failure domains.
 """
 
 from __future__ import annotations
