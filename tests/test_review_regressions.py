@@ -101,3 +101,31 @@ def test_fingerprint_tolerates_nonlocal_paths():
     a = input_fingerprint(["s3://bucket/x.parquet"])
     b = input_fingerprint(["s3://bucket/y.parquet"])
     assert a != b and len(a) == 16
+
+
+def test_partition_balance_with_mega_conversation(ray_session, tmp_path):
+    """End-to-end skew check: with the fixture's mega-conversation in the
+    corpus, salted partitioning must keep output partitions balanced (no
+    partition holds a disproportionate share of rows)."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        read_turns_output, run_checkpointed)
+
+    inputs = write_transcripts(str(tmp_path / "in"), 4000, n_shards=2)
+    out = str(tmp_path / "out")
+    cfg_partitions = 8
+    from amazon_textract_transformer_pipeline_ray.config import EngineConfig
+
+    run_checkpointed(inputs, out, EngineConfig(num_partitions=cfg_partitions))
+    df = read_turns_output(out).to_pandas()
+    counts = df.groupby("partition_id").size().to_numpy()
+    assert len(counts) == cfg_partitions
+    # Every partition within 3x of the mean (the mega conversation alone
+    # is several partitions' worth of rows if unsalted):
+    assert counts.max() <= 3 * counts.mean(), counts.tolist()
+    # The mega conversation itself spans multiple partitions:
+    mega = df[df["conv_id"] == "conv-mega"]
+    if len(mega) > 512:  # salt_span
+        assert mega["partition_id"].astype(int).nunique() > 1
