@@ -81,6 +81,10 @@ def parse_html(payload: str) -> TurnBlocks:
     cur_hints: list[int] = []
     cur_links: list[int] = []
     stack: list[str] = []
+    # eff_stack[i] = hint of the innermost hint-relevant tag among
+    # stack[:i+1] (None if none) — incremental replacement for walking
+    # the stack per text run (_context_hint semantics, unchanged):
+    eff_stack: list[int | None] = []
     link_depth = 0
     skip_until: str | None = None  # inside <script>/<style>
 
@@ -102,11 +106,15 @@ def parse_html(payload: str) -> TurnBlocks:
             ws = tok.split()
             if not ws:
                 continue
-            hint = _context_hint(stack, link_depth > 0)
+            ctx = eff_stack[-1] if eff_stack else None
+            hint = ctx if ctx is not None else (
+                CLS_OTHER if link_depth > 0 else CLS_CONTENT)
             link = 1 if link_depth > 0 else 0
             if hint == CLS_CONTENT:
-                hints = [CLS_DATE if DATE_WORD_RE.match(w) else CLS_CONTENT
-                         for w in ws]
+                # date shapes always start with a digit — cheap prefilter
+                # before the regex:
+                hints = [CLS_DATE if (w[0].isdigit() and DATE_WORD_RE.match(w))
+                         else CLS_CONTENT for w in ws]
             else:
                 hints = [hint] * len(ws)
             cur_words.extend(ws)
@@ -143,12 +151,15 @@ def parse_html(payload: str) -> TurnBlocks:
                 link_depth -= 1
             if name in stack:  # pop to the matching open tag
                 while stack:
+                    eff_stack.pop()
                     if stack.pop() == name:
                         break
         else:
             if name == "a":
                 link_depth += 1
             stack.append(name)
+            eff_stack.append(_HINT_BY_TAG.get(
+                name, eff_stack[-1] if eff_stack else None))
     flush_line()
 
     return from_word_lists(

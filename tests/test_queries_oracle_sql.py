@@ -12,7 +12,11 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+# (verified manually at sf0.01 — the driver's scale — as well; set
+# GRAFT_ORACLE_SF=/root/testdata/sf0.01 to rerun that)
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
