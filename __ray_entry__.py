@@ -119,8 +119,8 @@ def _x_tool_stats(sf_dir: str):
     """Per-tool rollup over tool turns (exercises the full input schema:
     tool + ts columns; rows-only check)."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -128,20 +128,19 @@ def _x_tool_stats(sf_dir: str):
                          columns=["role", "tool", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.equal(batch["role"], "tool")
-        t = batch.filter(mask)
-        df = pd.DataFrame({
-            "tool": t.column("tool").to_pylist(),
-            "n_chars": [len(x) for x in t.column("text").to_pylist()],
+        t = batch.filter(pc.equal(batch["role"], "tool"))
+        pre = pa.table({
+            "tool": t.column("tool"),
+            "n_chars": pc.utf8_length(t.column("text")),
         })
-        g = df.groupby("tool", as_index=False).agg(
-            p_n=("n_chars", "size"), p_chars=("n_chars", "sum"))
+        g = (pa.TableGroupBy(pre, "tool")
+             .aggregate([("n_chars", "count"), ("n_chars", "sum")]))
         # Explicit types so an all-filtered (empty) batch can't emit a
         # null-typed schema that breaks block unification downstream:
         return pa.table({
-            "tool": pa.array(g["tool"].tolist(), pa.string()),
-            "p_n": pa.array(g["p_n"].tolist(), pa.int64()),
-            "p_chars": pa.array(g["p_chars"].tolist(), pa.int64()),
+            "tool": g.column("tool").cast(pa.string()),
+            "p_n": g.column("n_chars_count").cast(pa.int64()),
+            "p_chars": g.column("n_chars_sum").cast(pa.int64()),
         })
 
     agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)

@@ -151,42 +151,57 @@ _MOD = np.uint64(2**61 - 1)
 
 
 def minhash_signature(token_ids: np.ndarray) -> np.ndarray:
-    """(MINHASH_PERMS,) uint64 signature; empty set -> all MOD."""
+    """(MINHASH_PERMS,) uint64 signature; empty set -> all MOD.
+
+    NOTE: the multiply wraps mod 2^64 BEFORE the ``% (2^61-1)``, so this
+    is a deterministic hash mix rather than a true member of the
+    universal-hash family — the textbook 1-(1-j^r)^b recall model applies
+    only approximately.  Harmless here: candidates are exact-Jaccard
+    verified, and the measured recall gate lives in tests."""
     if len(token_ids) == 0:
         return np.full(MINHASH_PERMS, _MOD, dtype=np.uint64)
-    # (n_tokens, n_perms) universal hashing, min over tokens:
+    # (n_tokens, n_perms) hashing, min over tokens:
     h = (token_ids[:, None] * _MH_A[None, :] + _MH_B[None, :]) % _MOD
     return h.min(axis=0)
 
 
 class MinHasher:
     """Actor-pool stage: doc -> LSH band rows
-    (band_id, band_hash, doc_id, band_hashes[16]).
+    (band_id, band_hash, doc_id, band_hashes[16], token_ids).
 
     Emits LSH_BANDS rows per doc (flat-map shape).  Every row carries the
     doc's FULL vector of band hashes so the bucket stage can emit each
     candidate pair exactly once — from its first colliding band — i.e.
     candidate dedup happens distributed, with no extra shuffle and no
-    driver-side drop_duplicates over a quadratic row set."""
+    driver-side drop_duplicates over a quadratic row set.  Each row also
+    carries the doc's compact distinct-token-id set, so exact-Jaccard
+    verification happens IN the bucket stage with zero extra shuffles and
+    zero driver/broadcast state (the set is shipped L times through the
+    one band shuffle — the price of a join-free single-pass design)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         rows = MINHASH_PERMS // LSH_BANDS
-        band_ids, band_hashes, out_docs, all_hashes = [], [], [], []
+        band_ids, band_hashes, out_docs, all_hashes, tok_sets = \
+            [], [], [], [], []
         for did, text in zip(doc_ids, batch.column("text").to_pylist()):
-            sig = minhash_signature(_token_hashes(text))
+            toks = _token_hashes(text)
+            sig = minhash_signature(toks)
             bh = [zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes())
                   for b in range(LSH_BANDS)]
+            toklist = toks.tolist()
             for b in range(LSH_BANDS):
                 band_ids.append(b)
                 band_hashes.append(bh[b])
                 out_docs.append(did)
                 all_hashes.append(bh)
+                tok_sets.append(toklist)
         return pa.table({
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.uint32()),
             "doc_id": pa.array(out_docs, pa.int64()),
             "band_hashes": pa.array(all_hashes, pa.list_(pa.uint32())),
+            "token_ids": pa.array(tok_sets, pa.list_(pa.uint64())),
         })
 
 
@@ -194,23 +209,27 @@ def q_minhash_lsh_pairs(sf_dir: str,
                         threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
-    Candidate generation: groupby (band, hash) buckets; inside a bucket,
-    a pair is emitted only when this band is the pair's FIRST colliding
-    band (vectorized over the bucket's band-hash matrix), so the global
-    candidate set is exactly the distinct colliding pairs.  Verification:
-    a dense doc x vocab incidence matrix is broadcast once; each batch of
-    pairs verifies with one vectorized gather-multiply-sum — exact
+    Candidate generation AND verification run in ONE distributed stage:
+    groupby (band, hash) buckets; inside a bucket, a pair is emitted only
+    when this band is the pair's FIRST colliding band (vectorized over
+    the bucket's band-hash matrix), so the global candidate set is
+    exactly the distinct colliding pairs; each surviving pair is then
+    exact-Jaccard verified in-bucket against a bucket-LOCAL incidence
+    matrix built from the token-id sets the band rows carry — exact
     integer intersections, f64 division, identical to the SQL oracle's
-    arithmetic.  Probabilistic recall (P[miss] = (1 - t^8)^8 per pair at
-    Jaccard t; ~1% at t=0.9, vanishing above) — rows-only driver check; recall vs the
-    exact variant is asserted in tests."""
+    arithmetic.  No broadcast corpus state, no driver materialization:
+    one shuffle total (the band groupby), with token sets shipped L
+    times through it.  Probabilistic recall (P[miss] = (1 - t^8)^8 per
+    pair at Jaccard t; ~1% at t=0.9, vanishing above) — rows-only driver
+    check; recall vs the exact variant is asserted in tests."""
     bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(MinHasher, batch_format="pyarrow",
                           batch_size=4096, concurrency=(1, 4)))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
-                              "doc_id_b": pd.Series([], dtype=np.int64)})
+                              "doc_id_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
         if len(g) < 2:
             return empty
         band = int(g["band_id"].iloc[0])
@@ -228,48 +247,32 @@ def q_minhash_lsh_pairs(sf_dir: str,
         first = eq.argmax(axis=1)  # first True (a colliding band exists:
         # this bucket's band collides by construction)
         mine = first == band
-        return pd.DataFrame({"doc_id_a": ids[ia[mine]],
-                             "doc_id_b": ids[ib[mine]]})
+        ia, ib = ia[mine], ib[mine]
+        if len(ia) == 0:
+            return empty
+        # Exact verification on the bucket-local vocabulary.  Counts are
+        # exact integers in f32 (< 2^24) so the f64 division is
+        # bit-identical to the SQL oracle's int/int double division.
+        sets = [np.asarray(s, dtype=np.uint64)
+                for s in g["token_ids"].to_numpy()[order]]
+        vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
+                                         [np.zeros(0, np.uint64)]))
+        inc = np.zeros((len(sets), max(len(vocab), 1)), dtype=np.float32)
+        for i, s in enumerate(sets):
+            if len(s):
+                inc[i, np.searchsorted(vocab, s)] = 1.0
+        sizes = inc.sum(axis=1).astype(np.float64)
+        inter = (inc[ia] * inc[ib]).sum(axis=1).astype(np.float64)
+        union = sizes[ia] + sizes[ib] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        keep = jac >= threshold
+        return pd.DataFrame({"doc_id_a": ids[ia[keep]].astype(np.int64),
+                             "doc_id_b": ids[ib[keep]].astype(np.int64),
+                             "jaccard": jac[keep]})
 
-    candidates = (bands.groupby(["band_id", "band_hash"])
-                  .map_groups(bucket_pairs, batch_format="pandas"))
-
-    # Dense incidence over the union vocabulary, broadcast once:
-    reduced = doc_token_sets(sf_dir).to_pandas()
-    doc_ids_all = reduced["doc_id"].to_numpy()
-    sets = [np.asarray(s, dtype=np.uint64) for s in reduced["token_ids"]]
-    vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
-                                     [np.zeros(0, np.uint64)]))
-    inc = np.zeros((len(sets), max(len(vocab), 1)), dtype=np.float32)
-    for i, s in enumerate(sets):
-        if len(s):
-            inc[i, np.searchsorted(vocab, s)] = 1.0
-    row_of = {int(d): i for i, d in enumerate(doc_ids_all)}
-    sizes = inc.sum(axis=1).astype(np.float64)
-    ref = broadcast((row_of, inc, sizes))
-
-    class Verify:
-        def __init__(self):
-            self.row_of, self.inc, self.sizes = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:
-                out = batch.copy()
-                out["jaccard"] = pd.Series([], dtype=np.float64)
-                return out
-            ra = np.array([self.row_of[int(a)] for a in batch["doc_id_a"]])
-            rb = np.array([self.row_of[int(b)] for b in batch["doc_id_b"]])
-            inter = (self.inc[ra] * self.inc[rb]).sum(axis=1).astype(np.float64)
-            union = self.sizes[ra] + self.sizes[rb] - inter
-            with np.errstate(divide="ignore", invalid="ignore"):
-                jac = np.where(union > 0, inter / union, 0.0)
-            out = batch.copy()
-            out["jaccard"] = jac
-            return out[out["jaccard"] >= threshold]
-
-    verified = (candidates
-                .map_batches(Verify, batch_format="pandas", batch_size=65536,
-                             concurrency=(1, 4))
+    verified = (bands.groupby(["band_id", "band_hash"])
+                .map_groups(bucket_pairs, batch_format="pandas")
                 .to_pandas())
     if len(verified) == 0:
         return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
@@ -377,27 +380,67 @@ def q_simhash(sf_dir: str) -> rd.Dataset:
 def q_simhash_pairs(sf_dir: str,
                     max_hamming: int = SIMHASH_MAX_HAMMING) -> pd.DataFrame:
     """SimHash near-dup pairs (Hamming <= max_hamming) by 4x16-bit band
-    blocking — exact recall for max_hamming <= 3 by pigeonhole."""
-    sh = q_simhash(sf_dir).to_pandas()
-    hashes = sh["simhash"].to_numpy().astype(np.uint64)
-    doc_ids = sh["doc_id"].to_numpy()
-    pairs: set[tuple[int, int]] = set()
-    for band in range(4):
-        key = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
-        bounds = np.concatenate([starts, [len(ks)]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            members = order[s:e]
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    a, b = members[i], members[j]
-                    d = int(bin(int(hashes[a]) ^ int(hashes[b])).count("1"))
-                    if d <= max_hamming:
-                        pairs.add((int(min(doc_ids[a], doc_ids[b])),
-                                   int(max(doc_ids[a], doc_ids[b]))))
-    out = pd.DataFrame(sorted(pairs), columns=["doc_id_a", "doc_id_b"])
-    return out.astype({"doc_id_a": np.int64, "doc_id_b": np.int64})
+    blocking — exact recall for max_hamming <= 3 by pigeonhole (a pair
+    differing in <= 3 of 64 bits must agree on >= 1 of the 4 bands).
+
+    Fully distributed: a ``map_batches`` flat-map emits 4 keyed band rows
+    per doc (each row carries the full 64-bit simhash, from which every
+    band key is derivable); ``groupby(band, key16).map_groups`` then
+    finds pairs per bucket with vectorized XOR + unpackbits popcount, and
+    emits each pair exactly once — from its FIRST agreeing band — so no
+    driver-side dedup set is needed.  Only the (tiny) verified pair list
+    reaches the driver."""
+    sh = q_simhash(sf_dir)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("simhash").to_numpy().astype(np.uint64)
+        did = batch.column("doc_id").to_numpy()
+        n = len(h)
+        band_ix = np.tile(np.arange(4, dtype=np.uint64), n)
+        hh = np.repeat(h, 4)
+        keys = ((hh >> (band_ix * np.uint64(16))) &
+                np.uint64(0xFFFF)).astype(np.uint32)
+        return pa.table({
+            "band": pa.array(band_ix.astype(np.int32)),
+            "key16": pa.array(keys),
+            "doc_id": pa.array(np.repeat(did, 4), pa.int64()),
+            "simhash": pa.array(hh),
+        })
+
+    rows = sh.map_batches(band_rows, batch_format="pyarrow", batch_size=8192)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                              "doc_id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        band = int(g["band"].iloc[0])
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        d = g["doc_id"].to_numpy()
+        ia, ib = np.triu_indices(len(d), k=1)
+        x = h[ia] ^ h[ib]
+        pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1)
+        near = pop <= max_hamming
+        # first agreeing band per pair -> emit-once across buckets:
+        agree = np.stack(
+            [((x >> np.uint64(t * 16)) & np.uint64(0xFFFF)) == 0
+             for t in range(4)], axis=1)
+        mine = agree.argmax(axis=1) == band
+        keep = near & mine
+        if not keep.any():
+            return empty
+        a, b = d[ia[keep]], d[ib[keep]]
+        return pd.DataFrame({
+            "doc_id_a": np.minimum(a, b).astype(np.int64),
+            "doc_id_b": np.maximum(a, b).astype(np.int64),
+        })
+
+    out = (rows.groupby(["band", "key16"])
+           .map_groups(bucket_pairs, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                             "doc_id_b": pd.Series([], dtype=np.int64)})
+    return (out.astype({"doc_id_a": np.int64, "doc_id_b": np.int64})
+            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))

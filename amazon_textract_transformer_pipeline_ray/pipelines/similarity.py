@@ -9,6 +9,13 @@
 * ``q_embedding_knn_lsh`` — random-hyperplane LSH bucketing: probes only
   same-bucket candidates (multi-probe over 1-bit flips), trading recall
   for a contact set ~B times smaller (rows-only check).
+
+Scale conventions: the ONLY driver-side materializations are (a) the
+query matrix (``vec_id < N_QUERIES`` — a filter-pushdown read of the
+small query side by definition) and (b) the final pair/top-k result.
+Hyperplanes (~KB) are broadcast via ``ray.put``; bucketing, candidate
+generation and exact verification all run inside ``map_batches`` /
+``groupby().map_groups``.
 """
 
 from __future__ import annotations
@@ -39,16 +46,61 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.compute as pc
+    """Driver-side read of the SMALL query side only (``vec_id <
+    N_QUERIES``): the filter is pushed down to parquet row-group pruning,
+    so this never materializes the full table."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    t = t.filter(pc.less(t["vec_id"], N_QUERIES))
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_QUERIES)])
     ids = t.column("vec_id").to_numpy()
     order = np.argsort(ids)
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     return ids[order], emb
+
+
+def _sample_matrix(sf_dir: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic small sample WITHOUT a full-table driver read: only
+    the first parquet row group is touched, and a hash-spread over ids is
+    applied within it so the pick is not biased by write order inside the
+    group.  (Seeding k-means from one shard is standard practice — Lloyd
+    iterations see the whole dataset and correct any shard bias.)"""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = pf.read_row_group(0, columns=["vec_id", "embedding"])
+    ids = head.column("vec_id").to_numpy()
+    order = np.argsort((ids.astype(np.uint64) * 2654435761) % 2**32)[:n]
+    emb = np.asarray(head.column("embedding").to_pylist(),
+                     dtype=np.float64)[order]
+    return ids[order], emb
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int,
+                 seed: int = 20260817) -> np.ndarray:
+    """(n_tables, dim, n_bits) seeded sign-hash hyperplanes — a few KB,
+    broadcast once via ``ray.put`` and read zero-copy by every task."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, dim, n_bits))
+
+
+def _bucket_codes(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) uint32 bucket codes for normalized rows ``x``."""
+    n_tables, _, n_bits = planes.shape
+    pow2 = 1 << np.arange(n_bits, dtype=np.uint32)
+    out = np.empty((x.shape[0], n_tables), dtype=np.uint32)
+    for t in range(n_tables):
+        out[:, t] = ((x @ planes[t]) > 0).astype(np.uint32) @ pow2
+    return out
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(head.column("embedding")[0])
 
 
 def q_embedding_knn(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
@@ -145,59 +197,83 @@ def q_embedding_dup_pairs(sf_dir: str,
 def q_embedding_dup_pairs_lsh(sf_dir: str,
                               threshold: float = DUP_COSINE) -> pd.DataFrame:
     """Near-duplicate pairs via multi-table hyperplane-LSH bucketing — the
-    scale path past the O(n^2) blockwise variant: candidates are
-    same-bucket pairs (union over L tables, emitted once from the first
-    table where they collide), verified exactly against the broadcast
-    normalized matrix.  Rows-only; recall vs q_embedding_dup_pairs is
-    asserted in tests."""
-    import pyarrow.parquet as pq
+    scale path past the O(n^2) blockwise variant, fully distributed:
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    m = _normalize(np.asarray(t.column("embedding").to_pylist(),
-                              dtype=np.float64))
+    1. ``map_batches``: normalize each vector, hash it into L bucket codes
+       (hyperplanes broadcast once, ~KB), and emit L keyed rows — each row
+       carries the vector's FULL code vector plus the normalized embedding
+       so the bucket stage can both dedup candidates and verify exactly
+       without any further shuffle or driver state.
+    2. ``groupby(table, bucket).map_groups``: inside a bucket, a pair is
+       emitted only when this table is the pair's FIRST colliding table
+       (so every candidate is produced exactly once across all buckets),
+       then verified by exact cosine — all vectorized in-bucket.
+
+    Each vector is shipped L times through one shuffle; there is no
+    whole-corpus materialization anywhere.  Rows-only; recall vs
+    q_embedding_dup_pairs is asserted in tests."""
     # Dup detection wants high recall at high cosine: short hashes (4 bit)
     # x more tables (8) — at threshold 0.95 the per-table collision
     # probability is ~0.65, so P[miss] ~ (1-0.65)^8 < 2e-4:
     n_bits, n_tables = 4, 8
-    rng = np.random.default_rng(20260817)
-    pow2 = 1 << np.arange(n_bits, dtype=np.uint32)
-    buckets = []
-    for _ in range(n_tables):
-        planes = rng.standard_normal((m.shape[1], n_bits))
-        buckets.append(((m @ planes) > 0).astype(np.uint32) @ pow2)
-    bh = np.stack(buckets, axis=1)  # (n, L)
+    planes = _hyperplanes(_embedding_dim(sf_dir), n_bits, n_tables)
+    ref = broadcast(planes)
 
-    pairs_a, pairs_b = [], []
-    for table_ix in range(n_tables):
-        key = bh[:, table_ix]
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
-        bounds = np.concatenate([starts, [len(ks)]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            members = order[s:e]
-            ia, ib = np.triu_indices(len(members), k=1)
-            a, b = members[ia], members[ib]
-            # emit once: only when this is the FIRST table where they collide
-            eq = bh[a] == bh[b]
-            mine = eq.argmax(axis=1) == table_ix
-            pairs_a.append(a[mine])
-            pairs_b.append(b[mine])
-    if pairs_a:
-        a = np.concatenate(pairs_a)
-        b = np.concatenate(pairs_b)
-        sims = np.einsum("ij,ij->i", m[a], m[b])
+    class BucketRows:
+        def __init__(self):
+            self.planes = ray.get(ref)
+            self.n_tables = self.planes.shape[0]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, emb = _batch_matrix(batch)
+            x = _normalize(emb)
+            codes = _bucket_codes(x, self.planes)  # (n, L)
+            L, n = self.n_tables, len(ids)
+            return pa.table({
+                "table_ix": pa.array(np.tile(np.arange(L, dtype=np.int32), n)),
+                "bucket": pa.array(codes.reshape(-1)),
+                "vec_id": pa.array(np.repeat(ids, L), pa.int64()),
+                "codes": pa.array(np.repeat(codes, L, axis=0).tolist(),
+                                  pa.list_(pa.uint32())),
+                "nemb": pa.array(np.repeat(x, L, axis=0).tolist(),
+                                 pa.list_(pa.float64())),
+            })
+
+    rows = (read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(BucketRows, batch_format="pyarrow",
+                         batch_size=4096, concurrency=(1, 4)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id_a": pd.Series([], dtype=np.int64),
+                              "vec_id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        table_ix = int(g["table_ix"].iloc[0])
+        ids = g["vec_id"].to_numpy()
+        codes = np.stack([np.asarray(c, dtype=np.uint32)
+                          for c in g["codes"]])
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in g["nemb"]])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        # emit once: only when this is the FIRST table where they collide
+        eq = codes[ia] == codes[ib]
+        mine = eq.argmax(axis=1) == table_ix
+        ia, ib = ia[mine], ib[mine]
+        if len(ia) == 0:
+            return empty
+        sims = np.einsum("ij,ij->i", m[ia], m[ib])
         keep = sims >= threshold
-        va, vb = ids[a[keep]], ids[b[keep]]
-        out = pd.DataFrame({"vec_id_a": np.minimum(va, vb),
-                            "vec_id_b": np.maximum(va, vb)})
-        out = out.drop_duplicates()
-    else:
-        out = pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+        va, vb = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame({
+            "vec_id_a": np.minimum(va, vb).astype(np.int64),
+            "vec_id_b": np.maximum(va, vb).astype(np.int64),
+        })
+
+    out = (rows.groupby(["table_ix", "bucket"])
+           .map_groups(bucket_pairs, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"vec_id_a": pd.Series([], dtype=np.int64),
+                             "vec_id_b": pd.Series([], dtype=np.int64)})
     return (out.astype({"vec_id_a": np.int64, "vec_id_b": np.int64})
             .sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True))
 
@@ -220,15 +296,10 @@ def q_embedding_knn_ivf(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     # --- train coarse centroids (Lloyd, partial-sum pattern) -------------
-    # Seeded deterministic init: hash-spread sample of N_IVF_LISTS vectors.
-    import pyarrow.parquet as pq
-
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    all_ids = head.column("vec_id").to_numpy()
-    order = np.argsort((all_ids * 2654435761) % 2**32)[:N_IVF_LISTS]
-    cents = _normalize(np.asarray(
-        head.column("embedding").to_pylist(), dtype=np.float64)[order])
+    # Seeded deterministic init: hash-spread sample of N_IVF_LISTS vectors
+    # from the FIRST row group only — no full-table driver read.
+    _, seed_emb = _sample_matrix(sf_dir, N_IVF_LISTS)
+    cents = _normalize(seed_emb)
 
     for _ in range(IVF_ITERS):
         ref = broadcast(cents)
@@ -317,39 +388,71 @@ N_LSH_TABLES = 4   # independent tables; recall ~ 1-(1-p_table)^L
 
 
 def q_embedding_knn_lsh(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
-    """Approximate top-k via multi-table random-hyperplane LSH.
+    """Approximate top-k via multi-table random-hyperplane LSH, fully
+    distributed:
 
     L independent 6-bit sign-hash tables; each query probes its bucket
     plus all 1-bit-flip neighbors in every table, and candidates are the
     union across tables (the standard recall amplifier for weakly
-    clustered data).  Rows-only check (approximate by design); recall vs
-    q_embedding_knn is asserted in tests."""
-    import pyarrow.parquet as pq
+    clustered data).  Only the hyperplanes and the per-query probe sets
+    (L x 7 uint32 codes per query, ~KB total) are broadcast; every batch
+    hashes its own vectors, masks them against the probe sets, and emits
+    partial top-k rows which a tiny per-query ``groupby`` merge reduces —
+    no full-table materialization anywhere.  Rows-only check (approximate
+    by design); recall vs q_embedding_knn is asserted in tests."""
+    qids, qm = _query_matrix(sf_dir)
+    qn = _normalize(qm)
+    planes = _hyperplanes(qn.shape[1], N_HYPERPLANES, N_LSH_TABLES)
+    qcodes = _bucket_codes(qn, planes)  # (n_q, L)
+    # probe sets: own bucket + every 1-bit flip -> (n_q, L, 1+bits)
+    flips = np.concatenate(
+        [[0], 1 << np.arange(N_HYPERPLANES, dtype=np.uint32)]).astype(np.uint32)
+    probes = qcodes[:, :, None] ^ flips[None, None, :]
+    ref = broadcast((qids, qn, planes, probes))
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    m = _normalize(np.asarray(t.column("embedding").to_pylist(),
-                              dtype=np.float64))
-    dim = m.shape[1]
-    rng = np.random.default_rng(20260817)
-    pow2 = 1 << np.arange(N_HYPERPLANES, dtype=np.uint32)
-    tables = []
-    for _ in range(N_LSH_TABLES):
-        planes = rng.standard_normal((dim, N_HYPERPLANES))
-        tables.append(((m @ planes) > 0).astype(np.uint32) @ pow2)
+    class ProbeTopK:
+        def __init__(self):
+            self.qids, self.qn, self.planes, self.probes = ray.get(ref)
 
-    qmask = ids < N_QUERIES
-    rows = []
-    for qi in np.flatnonzero(qmask):
-        cand_mask = np.zeros(len(ids), dtype=bool)
-        for buckets in tables:
-            probe = {int(buckets[qi])} | {
-                int(buckets[qi]) ^ (1 << b) for b in range(N_HYPERPLANES)}
-            cand_mask |= np.isin(buckets, list(probe))
-        cand = np.flatnonzero(cand_mask & (ids != ids[qi]))
-        sims = m[cand] @ m[qi]
-        order = np.lexsort((ids[cand], -sims))[:k]
-        for rank, j in enumerate(order, 1):
-            rows.append((int(ids[qi]), rank, int(ids[cand[j]])))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, emb = _batch_matrix(batch)
+            x = _normalize(emb)
+            codes = _bucket_codes(x, self.planes)  # (n, L)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                cand_mask = np.zeros(len(ids), dtype=bool)
+                for t in range(codes.shape[1]):
+                    cand_mask |= np.isin(codes[:, t], self.probes[qi, t])
+                cand = np.flatnonzero(cand_mask & (ids != qid))
+                if len(cand) == 0:
+                    continue
+                sims = x[cand] @ self.qn[qi]
+                # batch-local top-k under the global tie-break order
+                # (sim desc, id asc) keeps the merged result identical
+                # to a single global sort:
+                order = np.lexsort((ids[cand], -sims))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[cand[order]].tolist())
+                out_s.extend(sims[order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            })
+
+    partials = (read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+                .map_batches(ProbeTopK, batch_format="pyarrow",
+                             batch_size=8192, concurrency=(1, 4)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": top["query_id"].to_numpy(),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "neighbor_id": top["neighbor_id"].to_numpy(),
+        })
+
+    out = (partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -62,8 +62,12 @@ def make_extract_fn(cfg=None, emit: str = "turns",
     """
     # Content-derived cache key: id(cfg) would alias a mutated config or a
     # reused address to a stale worker-side extractor.
+    # ``is not None``: an empty filter (process nothing) must not alias the
+    # no-filter key — a falsy check would reuse a no-filter extractor and
+    # emit rows a filter-everything call should skip.
     key = (None if cfg is None else cfg.to_json(), emit, with_partition_id,
-           tuple(sorted(only_partitions)) if only_partitions else None)
+           tuple(sorted(only_partitions)) if only_partitions is not None
+           else None)
 
     def extract_fn(batch):
         ex = _PROCESS_EXTRACTORS.get(key)

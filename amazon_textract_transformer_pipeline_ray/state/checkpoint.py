@@ -28,17 +28,28 @@ MANIFEST_DIR = "_manifests"
 
 
 def input_fingerprint(paths: Iterable[str]) -> str:
-    """Deterministic digest over input file identities (path, size) —
-    no mtimes (the reference's timestamp-salt idempotency pitfall,
-    fn-call-textract/main.py:173-177)."""
+    """Deterministic digest over input file identities (path, size, tail
+    bytes) — no mtimes (the reference's timestamp-salt idempotency
+    pitfall, fn-call-textract/main.py:173-177).
+
+    The tail-4KB digest is the content signal: for parquet it covers the
+    footer (schema + row-group statistics), so overwriting a file in
+    place with different content of IDENTICAL byte length still changes
+    the fingerprint.  Non-seekable/remote paths (s3:// etc.) degrade to
+    path-only identity — callers resuming over remote inputs should
+    treat a same-path overwrite as requiring a manual lineage bump."""
     h = hashlib.sha256()
     for p in sorted(paths):
         h.update(p.encode())
         try:
             size = os.path.getsize(p)
+            with open(p, "rb") as f:
+                f.seek(max(0, size - 4096))
+                tail = f.read(4096)
         except OSError:
-            size = -1  # non-local filesystem (s3:// etc.): identity by path
+            size, tail = -1, b""  # non-local filesystem: identity by path
         h.update(str(size).encode())
+        h.update(tail)
     return h.hexdigest()[:16]
 
 
