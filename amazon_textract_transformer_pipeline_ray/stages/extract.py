@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.turn import extract_turn
-from ..schemas import FIELDS_SCHEMA, TURNS_SCHEMA, field_dicts, span_dicts
+from ..schemas import (FIELDS_SCHEMA, SPAN_STRUCT, TURNS_SCHEMA,
+                       VALUE_STRUCT)
 
 
 def partition_for(conv_id: str, turn_idx: int, cfg: EngineConfig) -> int:
@@ -106,48 +107,133 @@ class TurnExtractor:
         self.only_partitions = only_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Per-turn extraction is inherently Python string work, but the
+        OUTPUT table is assembled columnar: flat per-column lists plus
+        offset arrays for the nested span/value columns, turned into
+        ``ListArray.from_arrays(offsets, StructArray.from_arrays(...))``
+        — no per-row dict materialization, no ``from_pylist`` walking
+        nested Python objects (VERDICT r1 finding 6)."""
         cfg = self.cfg
         conv_ids = batch.column("conv_id").to_pylist()
         turn_idxs = batch.column("turn_idx").to_pylist()
         roles = batch.column("role").to_pylist()
         texts = batch.column("text").to_pylist()
 
-        turn_rows: list[dict] = []
-        field_rows: list[dict] = []
+        if self.emit == "turns":
+            return self._emit_turns(cfg, conv_ids, turn_idxs, roles, texts)
+        return self._emit_fields(cfg, conv_ids, turn_idxs, texts)
+
+    def _skip(self, cid: str, tix: int, cfg: EngineConfig):
+        """(skip?, partition_id) for one row under the resume filter."""
+        pid = partition_for(cid, tix, cfg) if self.with_partition_id else None
+        skip = (self.only_partitions is not None
+                and pid not in self.only_partitions)
+        return skip, pid
+
+    def _emit_turns(self, cfg, conv_ids, turn_idxs, roles, texts) -> pa.Table:
+        cols: dict[str, list] = {
+            "conv_id": [], "turn_idx": [], "role": [], "extracted_text": [],
+            "boilerplate_ratio": [], "n_words": [], "n_spans": [],
+            "doc_confidence": [], "review_needed": [], "partition_id": [],
+        }
+        # span child columns (flat) + list offsets:
+        sp: dict[str, list] = {f.name: [] for f in SPAN_STRUCT}
+        offsets = [0]
         for cid, tix, rol, payload in zip(conv_ids, turn_idxs, roles, texts):
-            pid = (
-                partition_for(cid, tix, cfg) if self.with_partition_id else None
-            )
-            if self.only_partitions is not None and pid not in self.only_partitions:
+            skip, pid = self._skip(cid, tix, cfg)
+            if skip:
                 continue
             ext = extract_turn(payload, cfg)
             if ext is None:  # empty turn -> dropped (base.py:419-428)
                 continue
-            review = ext.fields.review_needed(cfg.review_threshold)
-            if self.emit == "turns":
-                row = {
-                    "conv_id": cid,
-                    "turn_idx": tix,
-                    "role": rol,
-                    "extracted_text": ext.extracted_text,
-                    "boilerplate_ratio": ext.boilerplate_ratio,
-                    "n_words": ext.n_words,
-                    "n_spans": len(ext.detections),
-                    "spans": span_dicts(ext.detections),
-                    "doc_confidence": ext.fields.confidence,
-                    "review_needed": review,
-                }
-                if self.with_partition_id:
-                    row["partition_id"] = pid
-                turn_rows.append(row)
-            else:
-                for row in field_dicts(cid, tix, ext.fields, review):
-                    if self.with_partition_id:
-                        row["partition_id"] = pid
-                    field_rows.append(row)
+            cols["conv_id"].append(cid)
+            cols["turn_idx"].append(tix)
+            cols["role"].append(rol)
+            cols["extracted_text"].append(ext.extracted_text)
+            cols["boilerplate_ratio"].append(ext.boilerplate_ratio)
+            cols["n_words"].append(ext.n_words)
+            cols["n_spans"].append(len(ext.detections))
+            cols["doc_confidence"].append(ext.fields.confidence)
+            cols["review_needed"].append(
+                ext.fields.review_needed(cfg.review_threshold))
+            cols["partition_id"].append(pid)
+            for d in ext.detections:
+                sp["class_id"].append(d.class_id)
+                sp["class_name"].append(d.class_name)
+                sp["text"].append(d.text)
+                sp["raw_text"].append(d.raw_text)
+                sp["start"].append(d.start)
+                sp["end"].append(d.end)
+                sp["page"].append(d.page_num)
+                sp["x0"].append(int(d.box[0]))
+                sp["y0"].append(int(d.box[1]))
+                sp["x1"].append(int(d.box[2]))
+                sp["y1"].append(int(d.box[3]))
+                sp["confidence"].append(d.confidence)
+            offsets.append(offsets[-1] + len(ext.detections))
 
-        if self.emit == "turns":
-            schema = _TURNS_PART_SCHEMA if self.with_partition_id else TURNS_SCHEMA
-            return pa.Table.from_pylist(turn_rows, schema=schema)
+        schema = _TURNS_PART_SCHEMA if self.with_partition_id else TURNS_SCHEMA
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(sp[f.name], f.type) for f in SPAN_STRUCT],
+                fields=list(SPAN_STRUCT)))
+        arrays = []
+        for f in schema:
+            if f.name == "spans":
+                arrays.append(spans)
+            else:
+                arrays.append(pa.array(cols[f.name], f.type))
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    def _emit_fields(self, cfg, conv_ids, turn_idxs, texts) -> pa.Table:
+        cols: dict[str, list] = {
+            "conv_id": [], "turn_idx": [], "field_name": [], "class_id": [],
+            "value": [], "confidence": [], "num_detections": [],
+            "num_detected_values": [], "sort_order": [], "optional": [],
+            "review_needed": [], "partition_id": [],
+        }
+        val_value: list = []
+        val_conf: list = []
+        offsets = [0]
+        for cid, tix, payload in zip(conv_ids, turn_idxs, texts):
+            skip, pid = self._skip(cid, tix, cfg)
+            if skip:
+                continue
+            ext = extract_turn(payload, cfg)
+            if ext is None:
+                continue
+            review = ext.fields.review_needed(cfg.review_threshold)
+            for fr in ext.fields.fields:
+                cols["conv_id"].append(cid)
+                cols["turn_idx"].append(tix)
+                cols["field_name"].append(fr.name)
+                cols["class_id"].append(fr.class_id)
+                cols["value"].append(fr.value)
+                cols["confidence"].append(fr.confidence)
+                cols["num_detections"].append(fr.num_detections)
+                cols["num_detected_values"].append(fr.num_detected_values)
+                cols["sort_order"].append(fr.sort_order)
+                cols["optional"].append(
+                    bool(fr.optional) if fr.optional is not None else False)
+                cols["review_needed"].append(review)
+                cols["partition_id"].append(pid)
+                for v, c in fr.values:
+                    val_value.append(v)
+                    val_conf.append(c)
+                offsets.append(offsets[-1] + len(fr.values))
+
         schema = _FIELDS_PART_SCHEMA if self.with_partition_id else FIELDS_SCHEMA
-        return pa.Table.from_pylist(field_rows, schema=schema)
+        values = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(val_value, pa.string()),
+                 pa.array(val_conf, pa.float32())],
+                fields=list(VALUE_STRUCT)))
+        arrays = []
+        for f in schema:
+            if f.name == "values":
+                arrays.append(values)
+            else:
+                arrays.append(pa.array(cols[f.name], f.type))
+        return pa.Table.from_arrays(arrays, schema=schema)
