@@ -153,6 +153,33 @@ def _x_tool_stats(sf_dir: str):
     return out.sort_values("tool").reset_index(drop=True)
 
 
+def _x_turns_staged(sf_dir: str):
+    """Two-stage variant: extraction with normalizers stripped, then the
+    endpoint-shaped normalizer actor pool (stages/normalize.py) — the
+    reference's separate seq2seq-normalizer service shape (rows-only;
+    equality vs the fused path asserted in tests)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        read_transcripts)
+    from amazon_textract_transformer_pipeline_ray.stages.normalize import (
+        build_turns_staged)
+
+    return build_turns_staged(read_transcripts(_transcripts(sf_dir)),
+                              batch_size=256)
+
+
+def _x_training_examples(sf_dir: str):
+    """Materialized training-example table (reference ner.py:278-335
+    page-example prep chain: words[]/boxes[]/word_labels[] windows with
+    split bookkeeping; rows-only check — kernel invariants asserted in
+    tests/test_training_export.py)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        read_transcripts)
+    from amazon_textract_transformer_pipeline_ray.pipelines.training import (
+        build_training_examples)
+
+    return build_training_examples(read_transcripts(_transcripts(sf_dir)))
+
+
 def _x_eval_metrics(sf_dir: str):
     """Classifier-vs-gold evaluation (reference ner.py:338-417 metric
     definitions) as a one-row DataFrame (rows-only check)."""
@@ -181,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_turns": _x_turns,
         "x_fields": _x_fields,
         "x_conversations": _x_conversations,
+        "x_turns_staged": _x_turns_staged,
+        "x_training_examples": _x_training_examples,
         "x_spans": _x_spans,
         "x_eval_metrics": _x_eval_metrics,
         "x_tool_stats": _x_tool_stats,

@@ -126,6 +126,19 @@ class EngineConfig:
         """Non-ignored fields, in config order (main.py:85)."""
         return [f for f in self.fields if not f.ignore]
 
+    def without_normalizers(self) -> "EngineConfig":
+        """Copy with every field's normalizer stripped — the stage-A config
+        of the two-stage (extract -> normalizer actor pool) pipeline: raw
+        span texts pass through so the downstream ``NormalizerStage`` can
+        apply normalization and re-consolidate (stages/normalize.py)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self,
+            fields=[dataclasses.replace(f, normalizer=None,
+                                        normalizer_prompt=None)
+                    for f in self.fields])
+
     @property
     def entity_classes(self) -> dict[int, str]:
         """class_id -> name for non-ignored classes (extract.py:98)."""

@@ -132,14 +132,26 @@ class MediaFeatures:
 
 
 class ImageResize:
-    """Actor-pool stage: deterministic nearest-neighbor resize of fake
-    images to (target, target); other kinds pass through untouched.
+    """Actor-pool stage: resize/letterbox images with the reference's
+    sizing semantics (``image_utils.py:82-168``, re-implemented in pure
+    numpy with bilinear resampling — ``functions/image_ops.py``); other
+    kinds pass through untouched.
 
-    Mirrors the reference's resize/letterbox stage shape
-    (``image_utils.py:59-168``) without the PIL dependency."""
+    ``letterbox_color`` set -> fit + center on a solid canvas;
+    ``default_square=False`` -> shortest-edge mode with optional
+    ``max_size`` cap (the reference's thumbnail-generation knobs)."""
 
-    def __init__(self, target: int = 32):
+    def __init__(self, target: int | tuple[int, int] = 32,
+                 default_square: bool = True,
+                 letterbox_color: tuple[int, int, int] | None = None,
+                 max_size: int | None = None):
+        from ..functions.image_ops import resize_image_array
+
+        self._resize = resize_image_array
         self.target = target
+        self.default_square = default_square
+        self.letterbox_color = letterbox_color
+        self.max_size = max_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -147,15 +159,15 @@ class ImageResize:
             if row["kind"] != "image":
                 continue
             _, arr = decode_fake(row["payload"])
-            h, w, c = arr.shape
-            yi = (np.arange(self.target) * h // self.target)
-            xi = (np.arange(self.target) * w // self.target)
-            small = arr[yi][:, xi]
-            header = _MAGIC + b"i" + struct.pack(
-                "<iiiii", self.target, self.target, c, 0, 1)
-            row["payload"] = header + small.tobytes()
-            row["width"] = self.target
-            row["height"] = self.target
+            out = self._resize(arr, self.target,
+                               default_square=self.default_square,
+                               letterbox_color=self.letterbox_color,
+                               max_size=self.max_size)
+            h, w, c = out.shape
+            header = _MAGIC + b"i" + struct.pack("<iiiii", w, h, c, 0, 1)
+            row["payload"] = header + out.tobytes()
+            row["width"] = w
+            row["height"] = h
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
