@@ -46,6 +46,13 @@ LSH_BANDS = 8  # x 8 rows/band: P[candidate] = 1-(1-j^8)^8 — still ~0.99
 # on duplicate-heavy corpora
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
+# LSH bucket stages shuffle on a COARSE hash shard of the bucket key and
+# segment exact buckets inside each shard task: Ray's groupby pays
+# per-group overhead, so thousands of tiny buckets as groups would cost
+# more than the bucket work itself.  Shard count ~2-4x the worker count
+# balances skew against scheduling overhead (it partitions hash space,
+# so it scales with the CLUSTER, not the data):
+LSH_SHARDS = 64
 
 
 def _tokens(text: str) -> list[str]:
@@ -82,8 +89,23 @@ def q_jaccard_dup_pairs(sf_dir: str,
                         threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
     """All document pairs with token-set Jaccard >= threshold (exact).
 
-    Output: (doc_id_a < doc_id_b, jaccard rounded to 6 dp)."""
-    reduced = doc_token_sets(sf_dir).to_pandas()
+    The EXACT all-pairs variant: documents are reduced distributed to
+    compact token-id sets; the driver materializes only the REDUCED form
+    (ids + set sizes + union vocabulary — the documented O(n * |vocab|)
+    broadcast that makes exact all-pairs possible at all), and the O(n^2)
+    blockwise matmul itself is DISTRIBUTED: each ``map_batches`` batch
+    multiplies its rows against the broadcast incidence matrix.  Loose
+    f32 prefilter, exact f64 division on survivors — counts are exact
+    integers in f32 (< 2^24), so the result is bit-identical to the SQL
+    oracle's int/int double division.  At 10^9-doc scale you switch to
+    the LSH variant (no broadcast matrix, no quadratic).
+
+    Output: (doc_id_a < doc_id_b, jaccard)."""
+    # materialize(): the reduced form is computed ONCE and its blocks
+    # serve both the driver's incidence build and the blockwise stage —
+    # this is the small compacted table, not the input corpus:
+    reduced_ds = doc_token_sets(sf_dir).materialize()
+    reduced = reduced_ds.to_pandas()
     doc_ids = reduced["doc_id"].to_numpy()
     sets = [np.asarray(s, dtype=np.uint64) for s in reduced["token_ids"]]
     n = len(sets)
@@ -95,47 +117,46 @@ def q_jaccard_dup_pairs(sf_dir: str,
     for i, s in enumerate(sets):
         if len(s):
             m[i, np.searchsorted(vocab, s)] = 1.0
-    sizes32 = m.sum(axis=1)
+    row_of_doc = {int(d): i for i, d in enumerate(doc_ids)}
+    ref = broadcast((doc_ids, m, m.sum(axis=1), row_of_doc))
 
-    # Blockwise: small f32 temporaries (cache-friendly), loose f32
-    # prefilter, exact f64 division only on the surviving candidates —
-    # counts are exact integers in f32 (< 2^24), so the refined jaccard is
-    # bit-identical to the SQL oracle's int/int double division.
-    rows_a, rows_b, jacs = [], [], []
-    block = 512
-    for s0 in range(0, n, block):
-        s1 = min(s0 + block, n)
-        inter32 = m[s0:s1] @ m.T  # (b, n)
-        union32 = sizes32[s0:s1, None] + sizes32[None, :] - inter32
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac32 = np.where(union32 > 0, inter32 / union32, 0.0)
-        ca, cb = np.nonzero(jac32 >= threshold - 1e-3)
-        ga = ca + s0
-        keep_ut = ga < cb  # upper triangle only
-        ga, cb = ga[keep_ut], cb[keep_ut]
-        if len(ga) == 0:
-            continue
-        inter_exact = inter32[ga - s0, cb].astype(np.float64)
-        union_exact = union32[ga - s0, cb].astype(np.float64)
-        jac_exact = inter_exact / union_exact
-        final = jac_exact >= threshold
-        rows_a.append(ga[final])
-        rows_b.append(cb[final])
-        jacs.append(jac_exact[final])
+    class BlockPairs:
+        def __init__(self):
+            self.ids, self.m, self.sizes32, self.row_of = ray.get(ref)
 
-    if rows_a:
-        ga = np.concatenate(rows_a)
-        gb = np.concatenate(rows_b)
-        jj = np.concatenate(jacs)
-        out = pd.DataFrame({
-            "doc_id_a": np.minimum(doc_ids[ga], doc_ids[gb]),
-            "doc_id_b": np.maximum(doc_ids[ga], doc_ids[gb]),
-            "jaccard": jj,
-        })
-    else:
-        out = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
-                            "doc_id_b": pd.Series([], dtype=np.int64),
-                            "jaccard": pd.Series([], dtype=np.float64)})
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = np.array([self.row_of[int(d)]
+                             for d in batch.column("doc_id").to_pylist()],
+                            dtype=np.int64)
+            inter32 = self.m[rows] @ self.m.T  # (b, n)
+            union32 = (self.sizes32[rows, None] + self.sizes32[None, :]
+                       - inter32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac32 = np.where(union32 > 0, inter32 / union32, 0.0)
+            ca, cb = np.nonzero(jac32 >= threshold - 1e-3)
+            ga = rows[ca]
+            keep_ut = ga < cb  # upper triangle only (global row order)
+            ca, cb = ca[keep_ut], cb[keep_ut]
+            ga = ga[keep_ut]
+            jac_exact = (inter32[ca, cb].astype(np.float64)
+                         / union32[ca, cb].astype(np.float64))
+            final = jac_exact >= threshold
+            ga, cb, jj = ga[final], cb[final], jac_exact[final]
+            return pa.table({
+                "doc_id_a": pa.array(np.minimum(self.ids[ga], self.ids[cb]),
+                                     pa.int64()),
+                "doc_id_b": pa.array(np.maximum(self.ids[ga], self.ids[cb]),
+                                     pa.int64()),
+                "jaccard": pa.array(jj, pa.float64()),
+            })
+
+    out = (reduced_ds.map_batches(BlockPairs, batch_format="pyarrow",
+                                  batch_size=512, concurrency=(1, 8))
+           .to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                             "doc_id_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
@@ -196,7 +217,12 @@ class MinHasher:
                 out_docs.append(did)
                 all_hashes.append(bh)
                 tok_sets.append(toklist)
+        shard = ((np.asarray(band_hashes, dtype=np.uint64)
+                  * np.uint64(0x9E3779B1)
+                  + np.asarray(band_ids, dtype=np.uint64))
+                 % np.uint64(LSH_SHARDS)).astype(np.int32)
         return pa.table({
+            "shard": pa.array(shard),
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.uint32()),
             "doc_id": pa.array(out_docs, pa.int64()),
@@ -209,38 +235,28 @@ def q_minhash_lsh_pairs(sf_dir: str,
                         threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
-    Candidate generation AND verification run in ONE distributed stage:
-    groupby (band, hash) buckets; inside a bucket, a pair is emitted only
-    when this band is the pair's FIRST colliding band (vectorized over
-    the bucket's band-hash matrix), so the global candidate set is
-    exactly the distinct colliding pairs; each surviving pair is then
+    Candidate generation AND verification run in ONE distributed stage.
+    The shuffle key is a coarse hash SHARD of (band, hash) — see
+    ``LSH_SHARDS`` — and each shard task segments its rows into exact
+    buckets locally.  Inside a bucket, a pair is emitted only when this
+    band is the pair's FIRST colliding band (vectorized over the
+    bucket's band-hash matrix), so the global candidate set is exactly
+    the distinct colliding pairs; each surviving pair is then
     exact-Jaccard verified in-bucket against a bucket-LOCAL incidence
     matrix built from the token-id sets the band rows carry — exact
     integer intersections, f64 division, identical to the SQL oracle's
     arithmetic.  No broadcast corpus state, no driver materialization:
-    one shuffle total (the band groupby), with token sets shipped L
-    times through it.  Probabilistic recall (P[miss] = (1 - t^8)^8 per
-    pair at Jaccard t; ~1% at t=0.9, vanishing above) — rows-only driver
-    check; recall vs the exact variant is asserted in tests."""
+    one shuffle total, with token sets shipped L times through it.
+    Probabilistic recall (P[miss] = (1 - t^8)^8 per pair at Jaccard t;
+    ~1% at t=0.9, vanishing above) — rows-only driver check; recall vs
+    the exact variant is asserted in tests."""
     bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(MinHasher, batch_format="pyarrow",
                           batch_size=4096, concurrency=(1, 4)))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
-                              "doc_id_b": pd.Series([], dtype=np.int64),
-                              "jaccard": pd.Series([], dtype=np.float64)})
-        if len(g) < 2:
-            return empty
-        band = int(g["band_id"].iloc[0])
-        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-        ids = g["doc_id"].to_numpy()[order]
-        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
-        order = order[keep_first]
-        ids = ids[keep_first]
-        if len(ids) < 2:
-            return empty
-        bh = np.stack(g["band_hashes"].to_numpy()[order])  # (B, LSH_BANDS)
+    def bucket_pairs(band: int, ids: np.ndarray, bh: np.ndarray,
+                     sets: list[np.ndarray]) -> pd.DataFrame | None:
+        """Pairs for ONE exact (band, hash) bucket (deduped doc rows)."""
         # First colliding band per pair (vectorized over the bucket):
         ia, ib = np.triu_indices(len(ids), k=1)
         eq = bh[ia] == bh[ib]  # (n_pairs, LSH_BANDS)
@@ -249,12 +265,10 @@ def q_minhash_lsh_pairs(sf_dir: str,
         mine = first == band
         ia, ib = ia[mine], ib[mine]
         if len(ia) == 0:
-            return empty
+            return None
         # Exact verification on the bucket-local vocabulary.  Counts are
         # exact integers in f32 (< 2^24) so the f64 division is
         # bit-identical to the SQL oracle's int/int double division.
-        sets = [np.asarray(s, dtype=np.uint64)
-                for s in g["token_ids"].to_numpy()[order]]
         vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
                                          [np.zeros(0, np.uint64)]))
         inc = np.zeros((len(sets), max(len(vocab), 1)), dtype=np.float32)
@@ -267,12 +281,52 @@ def q_minhash_lsh_pairs(sf_dir: str,
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = np.where(union > 0, inter / union, 0.0)
         keep = jac >= threshold
+        if not keep.any():
+            return None
         return pd.DataFrame({"doc_id_a": ids[ia[keep]].astype(np.int64),
                              "doc_id_b": ids[ib[keep]].astype(np.int64),
                              "jaccard": jac[keep]})
 
-    verified = (bands.groupby(["band_id", "band_hash"])
-                .map_groups(bucket_pairs, batch_format="pandas")
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                              "doc_id_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+        if len(g) < 2:
+            return empty
+        band_col = g["band_id"].to_numpy()
+        hash_col = g["band_hash"].to_numpy()
+        doc_col = g["doc_id"].to_numpy()
+        # segment by exact bucket, doc-sorted within (stable dedup order):
+        order = np.lexsort((doc_col, hash_col, band_col))
+        band_col, hash_col, doc_col = (band_col[order], hash_col[order],
+                                       doc_col[order])
+        seg = np.flatnonzero(np.concatenate(
+            [[True],
+             (band_col[1:] != band_col[:-1]) | (hash_col[1:] != hash_col[:-1])]))
+        bounds = np.concatenate([seg, [len(doc_col)]])
+        bh_col = g["band_hashes"].to_numpy()[order]
+        tok_col = g["token_ids"].to_numpy()[order]
+        frames = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ids = doc_col[s:e]
+            keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
+            sel = np.flatnonzero(keep_first) + s
+            if len(sel) < 2:
+                continue
+            ids = doc_col[sel]
+            bh = np.stack(bh_col[sel])  # (B, LSH_BANDS)
+            sets = [np.asarray(t, dtype=np.uint64) for t in tok_col[sel]]
+            f = bucket_pairs(int(band_col[s]), ids, bh, sets)
+            if f is not None:
+                frames.append(f)
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    verified = (bands.groupby("shard")
+                .map_groups(shard_pairs, batch_format="pandas")
                 .to_pandas())
     if len(verified) == 0:
         return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
@@ -385,11 +439,15 @@ def q_simhash_pairs(sf_dir: str,
 
     Fully distributed: a ``map_batches`` flat-map emits 4 keyed band rows
     per doc (each row carries the full 64-bit simhash, from which every
-    band key is derivable); ``groupby(band, key16).map_groups`` then
-    finds pairs per bucket with vectorized XOR + unpackbits popcount, and
-    emits each pair exactly once — from its FIRST agreeing band — so no
-    driver-side dedup set is needed.  Only the (tiny) verified pair list
-    reaches the driver."""
+    band key is derivable); the shuffle key is a COARSE hash shard of
+    (band, key16) — ``groupby`` over ~tens of shards, not tens of
+    thousands of tiny buckets (Ray pays per-group overhead, so grouping
+    at bucket granularity would dominate wall time) — and each shard
+    task segments its rows by exact bucket locally and finds pairs per
+    bucket with vectorized XOR + unpackbits popcount.  A pair is emitted
+    exactly once — from its FIRST agreeing band — so no driver-side
+    dedup set is needed.  Only the (tiny) verified pair list reaches the
+    driver."""
     sh = q_simhash(sf_dir)
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -400,7 +458,10 @@ def q_simhash_pairs(sf_dir: str,
         hh = np.repeat(h, 4)
         keys = ((hh >> (band_ix * np.uint64(16))) &
                 np.uint64(0xFFFF)).astype(np.uint32)
+        shard = ((keys.astype(np.uint64) * np.uint64(0x9E3779B1) + band_ix)
+                 % np.uint64(LSH_SHARDS)).astype(np.int32)
         return pa.table({
+            "shard": pa.array(shard),
             "band": pa.array(band_ix.astype(np.int32)),
             "key16": pa.array(keys),
             "doc_id": pa.array(np.repeat(did, 4), pa.int64()),
@@ -409,35 +470,50 @@ def q_simhash_pairs(sf_dir: str,
 
     rows = sh.map_batches(band_rows, batch_format="pyarrow", batch_size=8192)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
                               "doc_id_b": pd.Series([], dtype=np.int64)})
         if len(g) < 2:
             return empty
-        band = int(g["band"].iloc[0])
+        band = g["band"].to_numpy()
+        key = g["key16"].to_numpy()
         h = g["simhash"].to_numpy().astype(np.uint64)
         d = g["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(d), k=1)
-        x = h[ia] ^ h[ib]
-        pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                            axis=1).sum(axis=1)
-        near = pop <= max_hamming
-        # first agreeing band per pair -> emit-once across buckets:
-        agree = np.stack(
-            [((x >> np.uint64(t * 16)) & np.uint64(0xFFFF)) == 0
-             for t in range(4)], axis=1)
-        mine = agree.argmax(axis=1) == band
-        keep = near & mine
-        if not keep.any():
+        order = np.lexsort((key, band))
+        band, key, h, d = band[order], key[order], h[order], d[order]
+        seg = np.flatnonzero(np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])]))
+        bounds = np.concatenate([seg, [len(d)]])
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            bb = int(band[s])
+            hh, dd = h[s:e], d[s:e]
+            ia, ib = np.triu_indices(e - s, k=1)
+            x = hh[ia] ^ hh[ib]
+            pop = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1)
+            near = pop <= max_hamming
+            # first agreeing band per pair -> emit-once across buckets:
+            agree = np.stack(
+                [((x >> np.uint64(t * 16)) & np.uint64(0xFFFF)) == 0
+                 for t in range(4)], axis=1)
+            keep = near & (agree.argmax(axis=1) == bb)
+            if keep.any():
+                out_a.append(dd[ia[keep]])
+                out_b.append(dd[ib[keep]])
+        if not out_a:
             return empty
-        a, b = d[ia[keep]], d[ib[keep]]
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         return pd.DataFrame({
             "doc_id_a": np.minimum(a, b).astype(np.int64),
             "doc_id_b": np.maximum(a, b).astype(np.int64),
         })
 
-    out = (rows.groupby(["band", "key16"])
-           .map_groups(bucket_pairs, batch_format="pandas")
+    out = (rows.groupby("shard")
+           .map_groups(shard_pairs, batch_format="pandas")
            .to_pandas())
     if len(out) == 0:
         return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
