@@ -180,6 +180,26 @@ def _x_training_examples(sf_dir: str):
     return build_training_examples(read_transcripts(_transcripts(sf_dir)))
 
 
+def _x_task_mlm(sf_dir: str):
+    """MLM-task window table via the task registry (reference
+    data/__init__.py:22-51 dispatch; rows-only)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        read_transcripts)
+    from amazon_textract_transformer_pipeline_ray.pipelines.tasks import get_task
+
+    return get_task("mlm", read_transcripts(_transcripts(sf_dir)))
+
+
+def _x_task_seq2seq(sf_dir: str):
+    """Seq2seq date-normalization pairs mined from date spans, deduped
+    distributed (rows-only)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        read_transcripts)
+    from amazon_textract_transformer_pipeline_ray.pipelines.tasks import get_task
+
+    return get_task("seq2seq", read_transcripts(_transcripts(sf_dir)))
+
+
 def _x_eval_metrics(sf_dir: str):
     """Classifier-vs-gold evaluation (reference ner.py:338-417 metric
     definitions) as a one-row DataFrame (rows-only check)."""
@@ -210,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_conversations": _x_conversations,
         "x_turns_staged": _x_turns_staged,
         "x_training_examples": _x_training_examples,
+        "x_task_mlm": _x_task_mlm,
+        "x_task_seq2seq": _x_task_seq2seq,
         "x_spans": _x_spans,
         "x_eval_metrics": _x_eval_metrics,
         "x_tool_stats": _x_tool_stats,

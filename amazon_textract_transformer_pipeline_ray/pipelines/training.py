@@ -91,9 +91,12 @@ def synth_annotation_record(tb: TurnBlocks, page_ix: np.ndarray) -> dict:
             "annotations": anns}
 
 
-def _example_rows(payload: str, cfg: EngineConfig,
-                  max_seq_len: int) -> list[dict]:
-    """One turn -> window example dicts (no conv bookkeeping yet)."""
+def _example_rows(payload: str, cfg: EngineConfig, max_seq_len: int,
+                  with_labels: bool = True) -> list[dict]:
+    """One turn -> window example dicts (no conv bookkeeping yet).
+
+    ``with_labels=False`` is the MLM-task shape (reference mlm.py: same
+    page windows, no word labels — masking happens downstream)."""
     tb = parse_payload(payload)
     if tb.n_words == 0:
         return []
@@ -103,14 +106,16 @@ def _example_rows(payload: str, cfg: EngineConfig,
     tok_counts = n_tokens_per_word(word_lens)
     for page in np.unique(tb.page_id):
         ix = np.flatnonzero(tb.page_id == page)
-        record = synth_annotation_record(tb, ix)
-        labels = annotation_word_labels(record, boxes1000[ix], cfg.n_classes)
+        if with_labels:
+            record = synth_annotation_record(tb, ix)
+            labels = annotation_word_labels(record, boxes1000[ix],
+                                            cfg.n_classes)
         counts = tok_counts[ix]
         word_start_token = np.concatenate([[0], np.cumsum(counts)[:-1]])
         total = int(counts.sum())
         windows = split_words(word_start_token, total, max_seq_len)
         for wix, (ws, we) in enumerate(windows):
-            out.append({
+            row = {
                 "page": int(page) + 1,
                 "window_idx": wix,
                 "n_windows": len(windows),
@@ -119,8 +124,10 @@ def _example_rows(payload: str, cfg: EngineConfig,
                 "n_tokens": int(counts[ws:we].sum()),
                 "words": [tb.words[int(i)] for i in ix[ws:we]],
                 "boxes": boxes1000[ix[ws:we]],
-                "word_labels": labels[ws:we],
-            })
+            }
+            if with_labels:
+                row["word_labels"] = labels[ws:we]
+            out.append(row)
     return out
 
 
