@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (fake codec; rows-only) ---
         "media_features": multimodal.q_media_features,
         "media_frame_pipeline": multimodal.q_media_frame_pipeline,
+        "media_bundle_roundtrip": multimodal.q_media_bundle_roundtrip,
     }
 
 

@@ -197,6 +197,105 @@ class VideoFrameSample:
         return pa.Table.from_pylist(out_rows, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real binary bundle sink/source: compressed .npz archives (the reference's
+# actual bundle container — resized page thumbnails are written with
+# np.savez_compressed and read back with np.load; preproc.py:61-173,
+# inference.py:145-171,236-240).  numpy IS the codec here, so unlike the
+# image/audio decode stubs this path is fully real.
+# ---------------------------------------------------------------------------
+
+def write_frame_bundles(frames: rd.Dataset, out_dir: str) -> pd.DataFrame:
+    """Sink stage: one compressed ``.npz`` bundle per SOURCE media item
+    (grouping sampled frames back to their video), plus a manifest.
+
+    The groupby guarantees all frames of one source land in one task no
+    matter how batches were split upstream — the bundle is written once,
+    atomically (tmp + rename), mirroring the reference's one-archive-per-
+    document layout."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def bundle(g: pd.DataFrame) -> pd.DataFrame:
+        src = int(g["src_id"].iloc[0])
+        g = g.sort_values("media_id")
+        arrays = {}
+        for mid, payload in zip(g["media_id"], g["payload"]):
+            _, arr = decode_fake(payload)
+            arrays[f"frame_{int(mid) % 1000:04d}"] = arr
+        path = os.path.join(out_dir, f"bundle-{src:06d}.npz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+        return pd.DataFrame({
+            "src_id": pd.Series([src], dtype=np.int64),
+            "path": [path],
+            "n_frames": pd.Series([len(arrays)], dtype=np.int64),
+            "n_bytes": pd.Series([os.path.getsize(path)], dtype=np.int64),
+        })
+
+    def add_src(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        return batch.append_column(
+            "src_id", pa.array(ids // 1000, pa.int64()))
+
+    with_src = frames.map_batches(add_src, batch_format="pyarrow")
+    return (with_src.groupby("src_id").map_groups(bundle,
+                                                  batch_format="pandas")
+            .to_pandas().sort_values("src_id").reset_index(drop=True))
+
+
+def read_frame_bundles(paths: list[str]) -> rd.Dataset:
+    """Source stage: .npz bundles -> image rows (MEDIA_SCHEMA), the
+    reference's np.load(bio) reader shape (inference.py:236-240)."""
+    def load(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path in batch.column("path").to_pylist():
+            import os
+
+            src = int(os.path.basename(path).split("-")[1].split(".")[0])
+            with np.load(path) as npz:
+                for key in sorted(npz.files):
+                    arr = npz[key]
+                    h, w, c = arr.shape
+                    header = _MAGIC + b"i" + struct.pack(
+                        "<iiiii", w, h, c, 0, 1)
+                    rows.append({
+                        "media_id": src * 1000 + int(key.split("_")[1]),
+                        "kind": "image",
+                        "payload": header + arr.tobytes(),
+                        "width": w, "height": h, "channels": c,
+                        "sample_rate": 0, "n_frames": 1,
+                    })
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    ds = rd.from_items([{"path": p} for p in paths])
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=8)
+
+
+def q_media_bundle_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Frame-sample videos, write per-source .npz bundles, read them back
+    and feature-extract — the full binary-bundle sink/source roundtrip
+    (rows-only; byte-equality asserted in tests)."""
+    import os
+    import shutil
+
+    n = 30
+    out_dir = f"/tmp/attp_bundles_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    frames = (rd.from_arrow(gen_media_table(n))
+              .map_batches(VideoFrameSample, batch_format="pyarrow",
+                           batch_size=32, concurrency=(1, 2)))
+    manifest = write_frame_bundles(frames, out_dir)
+    back = read_frame_bundles(manifest["path"].tolist())
+    feats = back.map_batches(MediaFeatures, batch_format="pyarrow",
+                             batch_size=32, concurrency=(1, 2)).to_pandas()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return feats.sort_values("media_id").reset_index(drop=True)
+
+
 def q_media_features(sf_dir: str) -> pd.DataFrame:
     """Decode + feature-extract over a deterministic media table sized by
     sf (rows-only check: binary fixtures are engine-generated)."""
