@@ -74,11 +74,10 @@ class ExtractedTurn:
     blocks: TurnBlocks
 
 
-def extract_turn(payload: str, cfg: EngineConfig) -> ExtractedTurn | None:
-    tb = parse_payload(payload)
-    if tb.n_words == 0:
-        return None
-    pred_class, pred_conf = classify_turn(tb, cfg.n_classes, cfg.max_seq_len)
+def _finish_turn(
+    tb: TurnBlocks, pred_class: np.ndarray, pred_conf: np.ndarray,
+    cfg: EngineConfig,
+) -> ExtractedTurn:
     assembled: AssembledTurn = assemble_turn(
         tb, pred_class, pred_conf, cfg.entity_classes
     )
@@ -95,3 +94,28 @@ def extract_turn(payload: str, cfg: EngineConfig) -> ExtractedTurn | None:
         pred_conf=pred_conf,
         blocks=tb,
     )
+
+
+def extract_turn(payload: str, cfg: EngineConfig) -> ExtractedTurn | None:
+    tb = parse_payload(payload)
+    if tb.n_words == 0:
+        return None
+    pred_class, pred_conf = classify_turn(tb, cfg.n_classes, cfg.max_seq_len)
+    return _finish_turn(tb, pred_class, pred_conf, cfg)
+
+
+def extract_turns_batch(
+    payloads: list[str], cfg: EngineConfig
+) -> list[ExtractedTurn | None]:
+    """Batched ``extract_turn``: classification runs in ONE vectorized
+    pass over all turns (``classifier.classify_turns``, bit-identical to
+    the per-turn call — the oracle gate compares the two paths), parsing
+    and assembly stay per turn (inherently per-document string work)."""
+    from .classifier import classify_turns
+
+    tbs = [parse_payload(p) for p in payloads]
+    preds = classify_turns(tbs, cfg.n_classes, cfg.max_seq_len)
+    return [
+        None if tb.n_words == 0 else _finish_turn(tb, pc, pf, cfg)
+        for tb, (pc, pf) in zip(tbs, preds)
+    ]

@@ -30,7 +30,7 @@ import zlib
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..functions.turn import extract_turn
+from ..functions.turn import extract_turns_batch
 from ..schemas import (FIELDS_SCHEMA, SPAN_STRUCT, TURNS_SCHEMA,
                        VALUE_STRUCT)
 
@@ -130,6 +130,18 @@ class TurnExtractor:
                 and pid not in self.only_partitions)
         return skip, pid
 
+    def _apply_skip(self, conv_ids, turn_idxs, cfg):
+        """Surviving row indices + their partition ids (resume filter runs
+        BEFORE parsing so skipped rows cost nothing)."""
+        keep: list[int] = []
+        pids: list[int | None] = []
+        for r, (cid, tix) in enumerate(zip(conv_ids, turn_idxs)):
+            skip, pid = self._skip(cid, tix, cfg)
+            if not skip:
+                keep.append(r)
+                pids.append(pid)
+        return keep, pids
+
     def _emit_turns(self, cfg, conv_ids, turn_idxs, roles, texts) -> pa.Table:
         cols: dict[str, list] = {
             "conv_id": [], "turn_idx": [], "role": [], "extracted_text": [],
@@ -139,16 +151,14 @@ class TurnExtractor:
         # span child columns (flat) + list offsets:
         sp: dict[str, list] = {f.name: [] for f in SPAN_STRUCT}
         offsets = [0]
-        for cid, tix, rol, payload in zip(conv_ids, turn_idxs, roles, texts):
-            skip, pid = self._skip(cid, tix, cfg)
-            if skip:
-                continue
-            ext = extract_turn(payload, cfg)
+        keep, pids = self._apply_skip(conv_ids, turn_idxs, cfg)
+        exts = extract_turns_batch([texts[r] for r in keep], cfg)
+        for r, pid, ext in zip(keep, pids, exts):
             if ext is None:  # empty turn -> dropped (base.py:419-428)
                 continue
-            cols["conv_id"].append(cid)
-            cols["turn_idx"].append(tix)
-            cols["role"].append(rol)
+            cols["conv_id"].append(conv_ids[r])
+            cols["turn_idx"].append(turn_idxs[r])
+            cols["role"].append(roles[r])
             cols["extracted_text"].append(ext.extracted_text)
             cols["boilerplate_ratio"].append(ext.boilerplate_ratio)
             cols["n_words"].append(ext.n_words)
@@ -196,17 +206,15 @@ class TurnExtractor:
         val_value: list = []
         val_conf: list = []
         offsets = [0]
-        for cid, tix, payload in zip(conv_ids, turn_idxs, texts):
-            skip, pid = self._skip(cid, tix, cfg)
-            if skip:
-                continue
-            ext = extract_turn(payload, cfg)
+        keep, pids = self._apply_skip(conv_ids, turn_idxs, cfg)
+        exts = extract_turns_batch([texts[r] for r in keep], cfg)
+        for r, pid, ext in zip(keep, pids, exts):
             if ext is None:
                 continue
             review = ext.fields.review_needed(cfg.review_threshold)
             for fr in ext.fields.fields:
-                cols["conv_id"].append(cid)
-                cols["turn_idx"].append(tix)
+                cols["conv_id"].append(conv_ids[r])
+                cols["turn_idx"].append(turn_idxs[r])
                 cols["field_name"].append(fr.name)
                 cols["class_id"].append(fr.class_id)
                 cols["value"].append(fr.value)
