@@ -85,8 +85,13 @@ def consolidate_turn(
     detections: list[Detection], cfg: EngineConfig
 ) -> TurnFields:
     results: list[FieldResult] = []
+    # One pass to bucket detections by class (order preserved — the
+    # per-field filter semantics of main.py:85-87 unchanged):
+    by_class: dict[int, list[Detection]] = {}
+    for e in detections:
+        by_class.setdefault(e.class_id, []).append(e)
     for ixtype, fc in enumerate(cfg.active_fields):
-        field_entities = [e for e in detections if e.class_id == fc.class_id]
+        field_entities = by_class.get(fc.class_id, [])
 
         # Exact-text value grouping (main.py:90-102):
         field_values: dict[str, dict] = {}

@@ -101,7 +101,9 @@ def parse_layout_json(payload: str) -> TurnBlocks:
                     pre_conf.append(0.0)
                     if first_line_of_page1:
                         hints.append(CLS_TITLE)
-                    elif DATE_WORD_RE.match(text):
+                    # date shapes always start with a digit — cheap
+                    # prefilter before the regex (same rule as html_parser):
+                    elif text[:1].isdigit() and DATE_WORD_RE.match(text):
                         hints.append(CLS_DATE)
                     else:
                         hints.append(CLS_CONTENT)
