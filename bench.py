@@ -256,6 +256,29 @@ def run_kernel_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print ``Dataset.stats()`` for the flagship extraction job — the
+    per-operator wall/cpu/output breakdown used to check that wall time
+    is dominated by the extraction kernel, not by plasma traffic or
+    scheduling (brief: 'read ds.stats() and iterate')."""
+    import shutil
+
+    ray = _init_ray(NUM_CPUS)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_turns, read_transcripts)
+
+    paths = entrymod._transcripts(SF_DIR)
+    out = f"/tmp/bench_stats_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = build_turns(read_transcripts(paths), batch_size=None)
+    ds.write_parquet(out)
+    print(ds.stats())
+    shutil.rmtree(out, ignore_errors=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child()
@@ -263,5 +286,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--kernel-scaling" in sys.argv:
         print(json.dumps(run_kernel_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

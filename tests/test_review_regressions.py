@@ -129,3 +129,46 @@ def test_partition_balance_with_mega_conversation(ray_session, tmp_path):
     mega = df[df["conv_id"] == "conv-mega"]
     if len(mega) > 512:  # salt_span
         assert mega["partition_id"].astype(int).nunique() > 1
+
+
+def test_empty_partition_filter_not_aliased_with_no_filter():
+    """Round-1 advice: an empty only_partitions filter (process nothing)
+    must not reuse a cached no-filter extractor via a falsy cache key."""
+    from amazon_textract_transformer_pipeline_ray.fixtures import gen_transcripts
+    from amazon_textract_transformer_pipeline_ray.stages.extract import (
+        make_extract_fn)
+
+    batch = gen_transcripts(50, seed=1)
+    unfiltered = make_extract_fn(None, "turns", False, None)
+    assert unfiltered(batch).num_rows > 0  # populates the process cache
+    filtered_all = make_extract_fn(None, "turns", False, frozenset())
+    assert filtered_all(batch).num_rows == 0
+
+
+def test_fingerprint_detects_same_size_overwrite(tmp_path):
+    """Round-1 advice: overwriting an input in place with different
+    content of IDENTICAL byte length must change the fingerprint."""
+    from amazon_textract_transformer_pipeline_ray.state.checkpoint import (
+        input_fingerprint)
+
+    p = tmp_path / "in.bin"
+    p.write_bytes(b"A" * 8192)
+    a = input_fingerprint([str(p)])
+    p.write_bytes(b"A" * 8191 + b"B")  # same size, different tail
+    b = input_fingerprint([str(p)])
+    assert a != b
+
+
+def test_embedding_dup_lsh_deterministic(ray_session):
+    """The distributed LSH dup-pair path is order-independent: the
+    first-colliding-table emit-once rule depends only on the codes, so
+    two runs return identical pair sets."""
+    import pandas as pd
+
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    a = similarity.q_embedding_dup_pairs_lsh("/root/testdata/sf0.001",
+                                             threshold=0.45)
+    b = similarity.q_embedding_dup_pairs_lsh("/root/testdata/sf0.001",
+                                             threshold=0.45)
+    pd.testing.assert_frame_equal(a, b)
