@@ -76,3 +76,22 @@ def split_words(
         splits.append((int(ix_start_word), int(ix_end_word)))
         ix_start_word = ix_end_word
     return splits
+
+
+# Splitter plug-in registry (reference ``ExampleSplitterBase`` subclass
+# surface, splitting.py:21-61; SURVEY §2.10).  A splitter is any callable
+# with the ``split_words`` signature: (word_start_token, n_tokens_total,
+# max_content_seq_len) -> list of half-open word-index windows.
+SPLITTERS: dict[str, object] = {"naive": split_words}
+
+
+def register_splitter(name: str, fn) -> None:
+    """Register (or replace) a window-splitting strategy."""
+    SPLITTERS[name] = fn
+
+
+def get_splitter(name: str = "naive"):
+    if name not in SPLITTERS:
+        raise ValueError(
+            f"Unknown splitter {name!r}; registered: {sorted(SPLITTERS)}")
+    return SPLITTERS[name]

@@ -33,6 +33,36 @@ DIALECT_HTML = "html"
 DIALECT_PLAIN = "plain"
 
 
+def _parse_layout_safe(payload: str) -> TurnBlocks:
+    try:
+        return parse_layout_json(payload)
+    except (ValueError, KeyError, TypeError):
+        # Malformed JSON-looking payload: degrade to plain text rather
+        # than poisoning the whole task (a single bad row must never
+        # fail a 100 TB batch; cf. the reference's per-line strict
+        # errors, base.py:256-265 — ours quarantines by falling back).
+        return parse_plain(payload)
+
+
+# Extractor plug-in registry (reference OCR-engine registry shape,
+# ``ocr_engines/base.py:18-39`` / ``ocr_engines/__init__.py:get()``;
+# SURVEY §2.10): dialect name -> parser producing the normalized
+# TurnBlocks contract.  ``register_parser`` swaps or adds an engine;
+# the three built-ins are pre-registered.
+PARSERS: dict[str, "object"] = {
+    DIALECT_LAYOUT: _parse_layout_safe,
+    DIALECT_HTML: parse_html,
+    DIALECT_PLAIN: parse_plain,
+}
+
+
+def register_parser(dialect: str, parser) -> None:
+    """Register (or replace) the parser for a payload dialect.  The
+    parser must return a finalized ``TurnBlocks`` (the engine-agnostic
+    adapter contract)."""
+    PARSERS[dialect] = parser
+
+
 def detect_dialect(payload: str) -> str:
     head = payload.lstrip()[:1]
     if head in ("{", "["):
@@ -43,19 +73,7 @@ def detect_dialect(payload: str) -> str:
 
 
 def parse_payload(payload: str) -> TurnBlocks:
-    d = detect_dialect(payload)
-    if d == DIALECT_LAYOUT:
-        try:
-            return parse_layout_json(payload)
-        except (ValueError, KeyError, TypeError):
-            # Malformed JSON-looking payload: degrade to plain text rather
-            # than poisoning the whole task (a single bad row must never
-            # fail a 100 TB batch; cf. the reference's per-line strict
-            # errors, base.py:256-265 — ours quarantines by falling back).
-            return parse_plain(payload)
-    if d == DIALECT_HTML:
-        return parse_html(payload)
-    return parse_plain(payload)
+    return PARSERS[detect_dialect(payload)](payload)
 
 
 @dataclass
