@@ -15,8 +15,10 @@ Locally (Ray auto-initializes, or set RAY_ADDRESS)::
 Subcommands: ``run`` (checkpointed, resumable extraction — rerunning with
 the same inputs/config skips complete partitions), ``summary`` (print a
 finished run's manifest rollup), ``eval`` (classifier metrics vs gold
-hints).  This module owns the Ray session (guarded init); library code
-never calls ray.init.
+hints), ``normalize`` (post-hoc normalizer actor-pool pass over a
+finished run's turns table), ``export`` (training-data tables via the
+mlm/ner/seq2seq task registry).  This module owns the Ray session
+(guarded init); library code never calls ray.init.
 """
 
 from __future__ import annotations
@@ -58,6 +60,24 @@ def main(argv: list[str] | None = None) -> int:
     ev = sub.add_parser("eval", help="classifier metrics vs gold hints")
     ev.add_argument("--input", required=True)
 
+    norm = sub.add_parser(
+        "normalize",
+        help="re-normalize a finished run's turns table (actor-pool "
+             "normalizer stage; writes a normalized copy)")
+    norm.add_argument("--out", required=True, help="finished run directory")
+    norm.add_argument("--dest", required=True,
+                      help="destination directory for normalized turns")
+    norm.add_argument("--config", help="EngineConfig JSON file (optional)")
+
+    exp = sub.add_parser(
+        "export", help="write a training-data table (task registry)")
+    exp.add_argument("--input", required=True,
+                     help="parquet path/glob/directory of transcripts")
+    exp.add_argument("--dest", required=True, help="destination directory")
+    exp.add_argument("--task", default="ner",
+                     choices=("mlm", "ner", "seq2seq"))
+    exp.add_argument("--max-seq-len", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -87,6 +107,44 @@ def main(argv: list[str] | None = None) -> int:
 
         m = build_eval_metrics(read_transcripts(_expand_inputs(args.input)))
         print(json.dumps(m))
+        return 0
+
+    if args.cmd == "normalize":
+        from .pipelines.extraction import read_turns_output
+        from .stages.normalize import NormalizerStage
+
+        if args.config:
+            with open(args.config) as f:
+                cfg = EngineConfig.from_json(f.read())
+        else:
+            cfg = EngineConfig()
+        import ray.data as rd
+
+        out = read_turns_output(args.out).map_batches(
+            NormalizerStage, fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
+        out.write_parquet(args.dest)
+        # count from the written files (no pipeline re-execution):
+        print(json.dumps({"rows": rd.read_parquet(args.dest).count(),
+                          "dest": args.dest}))
+        return 0
+
+    if args.cmd == "export":
+        from .pipelines.extraction import read_transcripts
+        from .pipelines.tasks import get_task
+
+        kwargs = {}
+        if args.max_seq_len is not None and args.task != "seq2seq":
+            kwargs["max_seq_len"] = args.max_seq_len
+        import ray.data as rd
+
+        table = get_task(args.task,
+                         read_transcripts(_expand_inputs(args.input)),
+                         **kwargs)
+        table.write_parquet(args.dest)
+        print(json.dumps({"task": args.task,
+                          "rows": rd.read_parquet(args.dest).count(),
+                          "dest": args.dest}))
         return 0
 
     # run

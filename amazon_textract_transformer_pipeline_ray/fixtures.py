@@ -232,32 +232,41 @@ def conv_name(conv_ix: int) -> str:
     return "conv-mega" if conv_ix == 0 else f"conv-{conv_ix:08d}"
 
 
-def gen_transcript_rows(
-    conv_ixs: list[int], sizes: list[int], seed: int
+def gen_transcript_rows_for(
+    pairs: list[tuple[int, int]], seed: int
 ) -> dict[str, list]:
-    """Generate all turns for the given conversations (by index)."""
+    """Generate the given (conv_ix, turn_idx) turns — every turn is an
+    independent pure function of (seed, conv_ix, turn_idx), so any
+    subset can be generated anywhere."""
     conv_id: list[str] = []
     turn_idx: list[int] = []
     role: list[str] = []
     text: list[str] = []
     tool: list[str] = []
     ts: list[int] = []
-    for ci, size in zip(conv_ixs, sizes):
-        name = conv_name(ci)
-        for t in range(size):
-            conv_id.append(name)
-            turn_idx.append(t)
-            r = _ROLES[t % 3]
-            role.append(r)
-            text.append(gen_turn_payload(seed, ci, t))
-            if r == "tool":
-                trng = np.random.default_rng([seed, ci, t, 7])
-                tool.append(_TOOLS[int(trng.integers(0, len(_TOOLS)))])
-            else:
-                tool.append("")
-            ts.append(EPOCH_US + (ci * 100_000 + t) * 1_000_000)
+    for ci, t in pairs:
+        conv_id.append(conv_name(ci))
+        turn_idx.append(t)
+        r = _ROLES[t % 3]
+        role.append(r)
+        text.append(gen_turn_payload(seed, ci, t))
+        if r == "tool":
+            trng = np.random.default_rng([seed, ci, t, 7])
+            tool.append(_TOOLS[int(trng.integers(0, len(_TOOLS)))])
+        else:
+            tool.append("")
+        ts.append(EPOCH_US + (ci * 100_000 + t) * 1_000_000)
     return {"conv_id": conv_id, "turn_idx": turn_idx, "role": role,
             "text": text, "tool": tool, "ts": ts}
+
+
+def gen_transcript_rows(
+    conv_ixs: list[int], sizes: list[int], seed: int
+) -> dict[str, list]:
+    """Generate all turns for the given conversations (by index)."""
+    pairs = [(ci, t) for ci, size in zip(conv_ixs, sizes)
+             for t in range(size)]
+    return gen_transcript_rows_for(pairs, seed)
 
 
 def _rows_to_table(rows: dict[str, list], shuffle_seed: int | None) -> pa.Table:
@@ -289,8 +298,12 @@ def write_transcripts(
     seed: int = DEFAULT_SEED,
     n_shards: int = 8,
 ) -> list[str]:
-    """Write a sharded transcript corpus; conversations are assigned to
-    shards round-robin by index, each shard generated + shuffled
+    """Write a sharded transcript corpus; turns are assigned to shards by
+    the SALTED round-robin ``(conv_ix + turn_idx // SHARD_SALT_SPAN) %
+    n_shards`` — short conversations stay whole, a mega-conversation
+    spreads across many shards, so every shard lands near the mean size
+    (no hot input file; a straggler read task would otherwise dominate
+    wall time at high parallelism).  Each shard is generated + shuffled
     independently (deterministic for any parallelism level).
 
     Returns the shard paths.  Skips generation if all shards already exist
@@ -319,13 +332,24 @@ def write_transcripts(
     return paths
 
 
+SHARD_SALT_SPAN = 64  # turns per salt bucket in the shard assignment
+
+
 def _write_shard(args: tuple) -> str:
     out_dir, n_turns, seed, n_shards, s = args
     sizes = conversation_sizes(n_turns, seed)
     path = os.path.join(out_dir, f"transcripts-{s:04d}.parquet")
-    conv_ixs = [ci for ci in range(len(sizes)) if ci % n_shards == s]
-    rows = gen_transcript_rows(conv_ixs, [sizes[ci] for ci in conv_ixs], seed)
+    pairs = [(ci, t) for ci, size in enumerate(sizes) for t in range(size)
+             if (ci + t // SHARD_SALT_SPAN) % n_shards == s]
+    rows = gen_transcript_rows_for(pairs, seed)
     table = _rows_to_table(rows, shuffle_seed=seed + 1000 + s)
-    pq.write_table(table, path + ".tmp", compression="zstd")
+    # Bounded row groups make every shard SPLITTABLE at read time: a shard
+    # that drew a mega-conversation can be 5-10x the mean, and a reader
+    # that must consume it as one block gets a straggler task that
+    # dominates wall time at high parallelism (hot-input-file skew).  Row
+    # groups are the standard parquet remedy — the engine's read path can
+    # then split hot files across tasks.
+    pq.write_table(table, path + ".tmp", compression="zstd",
+                   row_group_size=512)
     os.replace(path + ".tmp", path)
     return path

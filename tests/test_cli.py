@@ -57,3 +57,24 @@ def test_cli_conversations(ray_session, tmp_path, capsys):
     convs = rd.read_parquet(out + "/conversations").to_pandas()
     assert bool(convs["turns_unique_ordered"].all())
     assert len(convs) == c["n_conversations"]
+
+
+def test_cli_normalize_and_export(ray_session, tmp_path, capsys):
+    inputs_dir = str(tmp_path / "in")
+    write_transcripts(inputs_dir, 200, n_shards=2)
+    out = str(tmp_path / "out")
+    assert main(["run", "--input", inputs_dir, "--out", out,
+                 "--num-partitions", "4"]) == 0
+    run_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    dest = str(tmp_path / "normed")
+    assert main(["normalize", "--out", out, "--dest", dest]) == 0
+    n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n["rows"] == run_summary["turns_processed"]
+
+    for task in ("ner", "mlm", "seq2seq"):
+        tdest = str(tmp_path / f"task_{task}")
+        assert main(["export", "--input", inputs_dir, "--dest", tdest,
+                     "--task", task, "--max-seq-len", "64"]) == 0
+        t = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert t["rows"] > 0 and t["task"] == task
