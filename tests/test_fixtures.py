@@ -47,3 +47,21 @@ def test_sharded_equals_unsharded(tmp_path):
                                  tab.column("turn_idx").to_pylist(),
                                  tab.column("text").to_pylist()))
     assert key(shards) == key(t)
+
+
+def test_shard_balance_with_mega_conversation(tmp_path):
+    """Salted turn->shard assignment keeps input files near the mean even
+    with the mega-conversation present (no hot input file: a 7x shard
+    would become a straggler read task at high parallelism)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from amazon_textract_transformer_pipeline_ray.fixtures import (
+        write_transcripts)
+
+    paths = write_transcripts(str(tmp_path / "c"), 8000, n_shards=16)
+    rows = np.array([pq.ParquetFile(p).metadata.num_rows for p in paths])
+    assert rows.sum() > 0
+    assert rows.max() <= 2.5 * rows.mean(), rows.tolist()
+    # files are splittable (bounded row groups):
+    assert pq.ParquetFile(paths[0]).metadata.num_row_groups >= 1
