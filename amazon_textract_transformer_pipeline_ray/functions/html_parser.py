@@ -62,6 +62,29 @@ _HINT_BY_TAG = {
 # comment | tag | text-run — tokenized in one C-level pass:
 _TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<[^>]*>|[^<]+", re.DOTALL)
 
+# Tag-token parse memo: web markup reuses a small tag vocabulary (often
+# including attributes), so the strip/split/lower work per tag token is
+# paid once per distinct token per worker.  Bounded; worker-local.
+_TAG_MEMO: dict[str, tuple[bool, bool, str]] = {}
+
+
+def _parse_tag(tok: str) -> tuple[bool, bool, str]:
+    """(closing, self_closing, name) for one ``<...>`` token."""
+    info = _TAG_MEMO.get(tok)
+    if info is None:
+        tag_body = tok[1:-1].strip() if tok.endswith(">") else tok[1:].strip()
+        if not tag_body:
+            info = (False, False, "")
+        else:
+            closing = tag_body.startswith("/")
+            self_closing = tag_body.endswith("/")
+            stripped = tag_body.strip("/")
+            name = stripped.split(None, 1)[0].lower() if stripped else ""
+            info = (closing, self_closing, name)
+        if len(_TAG_MEMO) < 100_000:
+            _TAG_MEMO[tok] = info
+    return info
+
 
 def _context_hint(stack: list[str], in_link: bool) -> int:
     """Hint for the current context ignoring per-word date detection;
@@ -123,13 +146,9 @@ def parse_html(payload: str) -> TurnBlocks:
             continue
         if tok.startswith("<!--"):
             continue
-        tag_body = tok[1:-1].strip() if tok.endswith(">") else tok[1:].strip()
-        if not tag_body:
+        closing, self_closing, name = _parse_tag(tok)
+        if not name:
             continue
-        closing = tag_body.startswith("/")
-        self_closing = tag_body.endswith("/")
-        stripped = tag_body.strip("/")
-        name = stripped.split(None, 1)[0].lower() if stripped else ""
         if skip_until is not None:
             if closing and name == skip_until:
                 skip_until = None
