@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus,
         dedup,
         events,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -268,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": text.q_doc_langid,  # heuristic; rows-only
         # --- dedup suite ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,       # SQL-checked
+        "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,  # SQL-checked
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,       # rows-only
         "simhash": dedup.q_simhash,                           # rows-only
         "simhash_pairs": dedup.q_simhash_pairs,               # rows-only
@@ -521,6 +523,34 @@ def _sql_registry() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.db
             WHERE CAST(i.shared AS DOUBLE)
                       / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.9
+        """,
+        "jaccard_dedup_clusters": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(trim(text),
+                                                                  '\\s+'))) AS w
+                FROM documents WHERE trim(text) <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+                FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT i.da, i.db
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.da
+                JOIN sizes sb ON sb.doc_id = i.db
+                WHERE CAST(i.shared AS DOUBLE)
+                          / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.9),
+            edges AS (SELECT da AS a, db AS b FROM pairs
+                      UNION ALL SELECT db, da FROM pairs),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+            SELECT CAST(src AS BIGINT) AS doc_id,
+                   CAST(MIN(dst) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
