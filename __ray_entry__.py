@@ -46,6 +46,28 @@ def _transcripts(sf_dir: str) -> list[str]:
     return write_transcripts(out, n_turns, n_shards=n_shards)
 
 
+def _oracle_fixtures(sf_dir: str) -> list[str]:
+    """Corpus paths + guarantee that the independent-oracle expected
+    tables exist and ``/tmp/attp_oracle/current`` points at them (the
+    static paths the ``oracle_sql()`` strings read — see
+    ``amazon_textract_transformer_pipeline_ray/oracle_fixture.py``)."""
+    from amazon_textract_transformer_pipeline_ray.oracle_fixture import (
+        ensure_fixtures)
+
+    paths = _transcripts(sf_dir)
+    ensure_fixtures(paths)
+    return paths
+
+
+# Scalar projection of the turns table for the driver's hash compare (the
+# nested ``spans`` column is exposed row-wise by ``x_spans`` instead —
+# nested list<struct> values do not survive the pandas/DuckDB hash round
+# trip deterministically):
+_TURN_SCALAR_COLS = ["conv_id", "turn_idx", "role", "extracted_text",
+                     "boilerplate_ratio", "n_words", "n_spans",
+                     "doc_confidence", "review_needed"]
+
+
 def entry() -> Any:
     """Flagship: per-turn extraction over the sf0.001-scale transcript
     corpus; returns the turns Dataset (driver checks rows >= 0)."""
@@ -65,18 +87,27 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def _x_turns(sf_dir: str):
+    """Per-turn extraction, scalar driver view (SQL-checked against the
+    independent oracle's expected table)."""
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         build_turns, read_transcripts)
 
-    return build_turns(read_transcripts(_transcripts(sf_dir)), batch_size=256)
+    return build_turns(read_transcripts(_oracle_fixtures(sf_dir)),
+                       batch_size=256).select_columns(_TURN_SCALAR_COLS)
 
 
 def _x_fields(sf_dir: str):
+    """Per-field consolidation rows, scalar driver view (the nested
+    ``values`` list is dropped for the hash compare; its winner/count
+    summary columns remain)."""
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         build_turns, read_transcripts)
 
-    return build_turns(read_transcripts(_transcripts(sf_dir)),
-                       batch_size=256, emit="fields")
+    return build_turns(read_transcripts(_oracle_fixtures(sf_dir)),
+                       batch_size=256, emit="fields").select_columns(
+        ["conv_id", "turn_idx", "field_name", "class_id", "value",
+         "confidence", "num_detections", "num_detected_values",
+         "sort_order", "optional", "review_needed"])
 
 
 def _x_conversations(sf_dir: str):
@@ -84,14 +115,19 @@ def _x_conversations(sf_dir: str):
         build_conversations, build_turns, read_transcripts)
 
     return build_conversations(
-        build_turns(read_transcripts(_transcripts(sf_dir)), batch_size=256))
+        build_turns(read_transcripts(_oracle_fixtures(sf_dir)),
+                    batch_size=256))
 
 
 def _x_spans(sf_dir: str):
-    """Exploded span rows (one row per entity detection) — zero-copy
-    Arrow list flatten, no Python loop over rows."""
+    """Exploded span rows (one row per entity detection, every scalar
+    span field) — zero-copy Arrow list flatten, no Python loop over rows.
+    SQL-checked against the independent oracle's expected spans table."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_turns, read_transcripts)
 
     def explode(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -102,17 +138,18 @@ def _x_spans(sf_dir: str):
         conv = np.repeat(
             batch.column("conv_id").to_numpy(zero_copy_only=False), counts)
         tix = np.repeat(batch.column("turn_idx").to_numpy(), counts)
-        return pa.table({
+        cols = {
             "conv_id": pa.array(conv, pa.string()),
             "turn_idx": pa.array(tix, pa.int32()),
-            "class_name": flat.field("class_name"),
-            "text": flat.field("text"),
-            "start": flat.field("start"),
-            "end": flat.field("end"),
-            "page": flat.field("page"),
-        })
+        }
+        for name in ("class_id", "class_name", "text", "raw_text", "start",
+                     "end", "page", "x0", "y0", "x1", "y1", "confidence"):
+            cols[name] = flat.field(name)
+        return pa.table(cols)
 
-    return _x_turns(sf_dir).map_batches(explode, batch_format="pyarrow")
+    turns = build_turns(read_transcripts(_oracle_fixtures(sf_dir)),
+                        batch_size=256)
+    return turns.map_batches(explode, batch_format="pyarrow")
 
 
 def _x_tool_stats(sf_dir: str):
@@ -124,7 +161,7 @@ def _x_tool_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(_transcripts(sf_dir),
+    ds = rd.read_parquet(_oracle_fixtures(sf_dir),
                          columns=["role", "tool", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -156,15 +193,17 @@ def _x_tool_stats(sf_dir: str):
 def _x_turns_staged(sf_dir: str):
     """Two-stage variant: extraction with normalizers stripped, then the
     endpoint-shaped normalizer actor pool (stages/normalize.py) — the
-    reference's separate seq2seq-normalizer service shape (rows-only;
-    equality vs the fused path asserted in tests)."""
+    reference's separate seq2seq-normalizer service shape.  SQL-checked
+    against a staged-specific expected table (doc confidence recomputed
+    from f32 span confidences, the stage's recompute-from-table
+    semantics)."""
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         read_transcripts)
     from amazon_textract_transformer_pipeline_ray.stages.normalize import (
         build_turns_staged)
 
-    return build_turns_staged(read_transcripts(_transcripts(sf_dir)),
-                              batch_size=256)
+    return build_turns_staged(read_transcripts(_oracle_fixtures(sf_dir)),
+                              batch_size=256).select_columns(_TURN_SCALAR_COLS)
 
 
 def _x_training_examples(sf_dir: str):
@@ -192,12 +231,12 @@ def _x_task_mlm(sf_dir: str):
 
 def _x_task_seq2seq(sf_dir: str):
     """Seq2seq date-normalization pairs mined from date spans, deduped
-    distributed (rows-only)."""
+    distributed (SQL-checked against the oracle's mined-pair table)."""
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         read_transcripts)
     from amazon_textract_transformer_pipeline_ray.pipelines.tasks import get_task
 
-    return get_task("seq2seq", read_transcripts(_transcripts(sf_dir)))
+    return get_task("seq2seq", read_transcripts(_oracle_fixtures(sf_dir)))
 
 
 def _x_eval_metrics(sf_dir: str):
@@ -298,7 +337,37 @@ def _sql_registry() -> dict[str, str]:
     stop_list = ", ".join(
         f"'{w}'" for w in
         ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"))
+    # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
+    # expected tables (oracle_fixture.py) via stable symlinks the x_*
+    # queries re-point before running.  x_tool_stats is the exception —
+    # it is computed by DuckDB from the raw INPUT transcripts, fully
+    # independent of both implementations.
+    fix = "read_parquet('/tmp/attp_oracle/current/{name}.parquet')"
+    x_sql = {
+        "x_turns": f"SELECT * FROM {fix.format(name='turns')}",
+        "x_turns_staged":
+            f"SELECT * FROM {fix.format(name='turns_staged')}",
+        "x_spans": f"SELECT * FROM {fix.format(name='spans')}",
+        "x_fields": f"SELECT * FROM {fix.format(name='fields')}",
+        "x_conversations":
+            f"SELECT * FROM {fix.format(name='conversations')}",
+        "x_task_seq2seq": f"""
+            SELECT source, target, n_occurrences
+            FROM {fix.format(name='seq2seq')}
+        """,
+        "x_tool_stats": """
+            SELECT tool,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(length(text)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+            FROM read_parquet('/tmp/attp_transcripts/current/*.parquet')
+            WHERE role = 'tool'
+            GROUP BY tool
+        """,
+    }
     return {
+        **x_sql,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -615,4 +684,12 @@ def _sql_registry() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Defensive: the x_* oracle SQL reads fixture files produced as a side
+    # effect of running the x_* queries; materialize them for the driver's
+    # correctness scale up front in case the driver runs SQL first.
+    try:
+        if os.path.isdir("/root/testdata/sf0.01"):
+            _oracle_fixtures("/root/testdata/sf0.01")
+    except Exception:  # noqa: BLE001 - fixture build must never break SQL listing
+        pass
     return _sql_registry()

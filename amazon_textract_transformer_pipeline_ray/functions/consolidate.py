@@ -78,7 +78,20 @@ class TurnFields:
     confidence: float  # document confidence (main.py:173-179)
 
     def review_needed(self, threshold: float) -> bool:
-        return self.confidence < threshold
+        """Confidence gate (reference ``pipeline/__init__.py:294``:
+        ``Confidence >= 0.5`` -> no review).
+
+        Evaluated at the PERSISTED float32 precision: the turns table
+        stores ``doc_confidence`` as f32, and quantizing before the
+        compare makes the gate a pure function of that column — the
+        decision is identical whether computed in the fused kernel, the
+        staged normalizer's recompute-from-table path, or an external
+        checker reading the parquet.  (In f64, consolidations landing
+        EXACTLY on the threshold — e.g. two equal-confidence values
+        normalizing to 0.5 — flip on ~1e-16 summation noise.)"""
+        import numpy as np
+
+        return bool(np.float32(self.confidence) < np.float32(threshold))
 
 
 def consolidate_turn(

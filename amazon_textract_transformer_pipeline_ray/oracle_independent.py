@@ -426,6 +426,27 @@ def oracle_extract_turn(payload: str, cfg: EngineConfig) -> dict | None:
             d["text"] = new
 
     # consolidation (reference main.py:84-180):
+    field_rows, doc_conf = oracle_consolidate(detections, cfg)
+
+    return {
+        "extracted_text": extracted_text,
+        "boilerplate_ratio": 1.0 - n_content / n if n else 0.0,
+        "n_words": n,
+        "n_spans": len(detections),
+        "spans": detections,
+        "doc_confidence": doc_conf,
+        # gate at persisted f32 precision (consolidate.TurnFields spec):
+        "review_needed": bool(np.float32(doc_conf)
+                              < np.float32(cfg.review_threshold)),
+        "fields": field_rows,
+    }
+
+
+def oracle_consolidate(detections: list[dict], cfg: EngineConfig):
+    """Field consolidation alone (reference main.py:84-180), reusable so
+    the driver-oracle fixture writer can re-run it over f32-quantized span
+    confidences — the staged pipeline's recompute-from-table semantics
+    (stages/normalize.py)."""
     field_rows = []
     doc_confs = []
     for ixtype, f in enumerate([f for f in cfg.fields if not f.ignore]):
@@ -476,14 +497,4 @@ def oracle_extract_turn(payload: str, cfg: EngineConfig) -> dict | None:
         if not (row["confidence"] == 0 and f.optional):
             doc_confs.append(row["confidence"])
     doc_conf = min(doc_confs) if doc_confs else 0.0
-
-    return {
-        "extracted_text": extracted_text,
-        "boilerplate_ratio": 1.0 - n_content / n if n else 0.0,
-        "n_words": n,
-        "n_spans": len(detections),
-        "spans": detections,
-        "doc_confidence": doc_conf,
-        "review_needed": doc_conf < cfg.review_threshold,
-        "fields": field_rows,
-    }
+    return field_rows, doc_conf
