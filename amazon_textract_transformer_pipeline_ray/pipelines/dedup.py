@@ -26,8 +26,6 @@ Scale notes
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -49,10 +47,12 @@ SIMHASH_MAX_HAMMING = 3
 # LSH bucket stages shuffle on a COARSE hash shard of the bucket key and
 # segment exact buckets inside each shard task: Ray's groupby pays
 # per-group overhead, so thousands of tiny buckets as groups would cost
-# more than the bucket work itself.  Shard count ~2-4x the worker count
-# balances skew against scheduling overhead (it partitions hash space,
-# so it scales with the CLUSTER, not the data):
-LSH_SHARDS = 64
+# more than the bucket work itself.  The shard count is sized per query by
+# ``sources.scale.shuffle_width`` from BOTH the cluster CPU count (keep
+# workers busy) and the row count (bound the rows — and memory — one shard
+# task materializes; a fixed count would grow per-task memory linearly
+# with the corpus).
+LSH_ROWS_PER_SHARD = 32768
 
 
 def _tokens(text: str) -> list[str]:
@@ -60,13 +60,55 @@ def _tokens(text: str) -> list[str]:
     return _WS_RE.split(t) if t else []
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    """Distinct token ids (crc32) per doc, sorted."""
-    toks = set(_tokens(text))
-    if not toks:
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Vectorized 64-bit token ids (pandas' C siphash kernel — one call
+    per array, no per-token Python loop)."""
+    if not tokens:
         return np.zeros(0, dtype=np.uint64)
-    return np.sort(np.array(
-        [zlib.crc32(w.encode("utf-8")) for w in toks], dtype=np.uint64))
+    import pandas as pd
+
+    return pd.util.hash_array(
+        np.asarray(tokens, dtype=object)).astype(np.uint64)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Distinct token ids per doc, sorted (scalar spec; the batch path is
+    ``_batch_token_runs``, asserted equal in tests)."""
+    return np.unique(_hash_tokens(_tokens(text)))
+
+
+def _batch_token_runs(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch tokenization: ONE vectorized hash over every token of
+    every doc, then per-doc sorted-distinct segmentation.
+
+    Returns (hashes, run_counts, offsets): ``hashes[offsets[i]:offsets[i+1]]``
+    is doc i's sorted distinct token ids and ``run_counts`` the matching
+    occurrence counts."""
+    tok_lists = [_tokens(t) for t in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    total = int(counts.sum())
+    n = len(texts)
+    if total == 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                np.zeros(n + 1, np.int64))
+    flat = np.empty(total, dtype=object)
+    flat[:] = [w for ws in tok_lists for w in ws]
+    import pandas as pd
+
+    h = pd.util.hash_array(flat).astype(np.uint64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((h, doc))
+    hs, ds = h[order], doc[order]
+    new = np.concatenate([[True], (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])])
+    starts = np.flatnonzero(new)
+    run_counts = np.diff(np.concatenate([starts, [total]]))
+    hs_d, ds_d = hs[new], ds[new]
+    offsets = np.concatenate(
+        [[0], np.cumsum(np.bincount(ds_d, minlength=n))]).astype(np.int64)
+    return hs_d, run_counts.astype(np.int64), offsets
 
 
 def doc_token_sets(sf_dir: str) -> rd.Dataset:
@@ -74,12 +116,12 @@ def doc_token_sets(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def reduce_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sets = [_token_hashes(t) for t in batch.column("text").to_pylist()]
+        hs, _, offs = _batch_token_runs(batch.column("text").to_pylist())
+        token_ids = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(hs, pa.uint64()))
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "token_ids": pa.array([s.tolist() for s in sets],
-                                  pa.list_(pa.uint64())),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "token_ids": token_ids,
         })
 
     return ds.map_batches(reduce_batch, batch_format="pyarrow", batch_size=8192)
@@ -174,11 +216,13 @@ _MOD = np.uint64(2**61 - 1)
 def minhash_signature(token_ids: np.ndarray) -> np.ndarray:
     """(MINHASH_PERMS,) uint64 signature; empty set -> all MOD.
 
-    NOTE: the multiply wraps mod 2^64 BEFORE the ``% (2^61-1)``, so this
-    is a deterministic hash mix rather than a true member of the
-    universal-hash family — the textbook 1-(1-j^r)^b recall model applies
-    only approximately.  Harmless here: candidates are exact-Jaccard
-    verified, and the measured recall gate lives in tests."""
+    Scalar spec — the stage uses the batch form ``_minhash_batch``
+    (asserted equal in tests).  NOTE: the multiply wraps mod 2^64 BEFORE
+    the ``% (2^61-1)``, so this is a deterministic hash mix rather than a
+    true member of the universal-hash family — the textbook 1-(1-j^r)^b
+    recall model applies only approximately.  Harmless here: candidates
+    are exact-Jaccard verified, and the measured recall gate lives in
+    tests."""
     if len(token_ids) == 0:
         return np.full(MINHASH_PERMS, _MOD, dtype=np.uint64)
     # (n_tokens, n_perms) hashing, min over tokens:
@@ -186,9 +230,40 @@ def minhash_signature(token_ids: np.ndarray) -> np.ndarray:
     return h.min(axis=0)
 
 
+def _minhash_batch(hs: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs, MINHASH_PERMS) signatures over ``_batch_token_runs``
+    segments — one vectorized pass per permutation (the per-perm loop
+    also bounds peak memory to one n_tokens-long u64 array, so batch
+    size never multiplies by MINHASH_PERMS)."""
+    n = len(offsets) - 1
+    out = np.full((n, MINHASH_PERMS), _MOD, dtype=np.uint64)
+    nonempty = np.flatnonzero(np.diff(offsets) > 0)
+    if len(nonempty) == 0:
+        return out
+    starts = offsets[:-1][nonempty]
+    for j in range(MINHASH_PERMS):
+        hj = (hs * _MH_A[j] + _MH_B[j]) % _MOD
+        out[nonempty, j] = np.minimum.reduceat(hj, starts)
+    return out
+
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, LSH_BANDS) uint32 band keys: splitmix-style fold of each
+    band's signature words — vectorized over (docs, bands)."""
+    v = sigs.reshape(len(sigs), LSH_BANDS, MINHASH_PERMS // LSH_BANDS)
+    acc = np.zeros(v.shape[:2], dtype=np.uint64)
+    for j in range(v.shape[2]):
+        acc = (acc ^ v[:, :, j]) * np.uint64(0x9E3779B97F4A7C15)
+        acc ^= acc >> np.uint64(29)
+    return (acc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
 class MinHasher:
-    """Actor-pool stage: doc -> LSH band rows
-    (band_id, band_hash, doc_id, band_hashes[16], token_ids).
+    """Stage UDF: doc -> LSH band rows
+    (band_id, band_hash, doc_id, band_hashes[LSH_BANDS], token_ids).
+
+    Fully vectorized: one batched token hash + per-perm reduceat minima +
+    columnar ``ListArray`` assembly — no per-token or per-row Python work.
 
     Emits LSH_BANDS rows per doc (flat-map shape).  Every row carries the
     doc's FULL vector of band hashes so the bucket stage can emit each
@@ -198,36 +273,48 @@ class MinHasher:
     carries the doc's compact distinct-token-id set, so exact-Jaccard
     verification happens IN the bucket stage with zero extra shuffles and
     zero driver/broadcast state (the set is shipped L times through the
-    one band shuffle — the price of a join-free single-pass design)."""
+    one band shuffle — the price of a join-free single-pass design; the
+    shard count scales with corpus size so per-shard memory stays
+    bounded, see LSH_ROWS_PER_SHARD)."""
+
+    def __init__(self, n_shards: int = 64):
+        self.n_shards = n_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        rows = MINHASH_PERMS // LSH_BANDS
-        band_ids, band_hashes, out_docs, all_hashes, tok_sets = \
-            [], [], [], [], []
-        for did, text in zip(doc_ids, batch.column("text").to_pylist()):
-            toks = _token_hashes(text)
-            sig = minhash_signature(toks)
-            bh = [zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes())
-                  for b in range(LSH_BANDS)]
-            toklist = toks.tolist()
-            for b in range(LSH_BANDS):
-                band_ids.append(b)
-                band_hashes.append(bh[b])
-                out_docs.append(did)
-                all_hashes.append(bh)
-                tok_sets.append(toklist)
-        shard = ((np.asarray(band_hashes, dtype=np.uint64)
-                  * np.uint64(0x9E3779B1)
-                  + np.asarray(band_ids, dtype=np.uint64))
-                 % np.uint64(LSH_SHARDS)).astype(np.int32)
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(doc_ids)
+        hs, _, offs = _batch_token_runs(batch.column("text").to_pylist())
+        bh = _band_hashes(_minhash_batch(hs, offs))  # (n, LSH_BANDS)
+
+        band_ids = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
+        band_hash = bh.reshape(-1)
+        shard = ((band_hash.astype(np.uint64) * np.uint64(0x9E3779B1)
+                  + band_ids.astype(np.uint64))
+                 % np.uint64(self.n_shards)).astype(np.int32)
+        # each row carries its doc's full band vector (fixed width):
+        bh_vals = np.repeat(bh, LSH_BANDS, axis=0).reshape(-1)
+        bh_offs = np.arange(n * LSH_BANDS + 1, dtype=np.int32) * LSH_BANDS
+        # ...and its doc's token set (variable width, tiled per band):
+        sizes = np.diff(offs)
+        tok_offs = np.concatenate(
+            [[0], np.cumsum(np.repeat(sizes, LSH_BANDS))]).astype(np.int64)
+        if n:
+            idx = np.concatenate(
+                [np.tile(np.arange(offs[d], offs[d + 1]), LSH_BANDS)
+                 for d in range(n)])
+            tok_vals = hs[idx.astype(np.int64)] if len(idx) else hs[:0]
+        else:
+            tok_vals = hs[:0]
         return pa.table({
             "shard": pa.array(shard),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.uint32()),
-            "doc_id": pa.array(out_docs, pa.int64()),
-            "band_hashes": pa.array(all_hashes, pa.list_(pa.uint32())),
-            "token_ids": pa.array(tok_sets, pa.list_(pa.uint64())),
+            "band_id": pa.array(band_ids),
+            "band_hash": pa.array(band_hash),
+            "doc_id": pa.array(np.repeat(doc_ids, LSH_BANDS), pa.int64()),
+            "band_hashes": pa.ListArray.from_arrays(
+                pa.array(bh_offs, pa.int32()), pa.array(bh_vals)),
+            "token_ids": pa.ListArray.from_arrays(
+                pa.array(tok_offs, pa.int32()), pa.array(tok_vals)),
         })
 
 
@@ -250,8 +337,14 @@ def q_minhash_lsh_pairs(sf_dir: str,
     Probabilistic recall (P[miss] = (1 - t^8)^8 per pair at Jaccard t;
     ~1% at t=0.9, vanishing above) — rows-only driver check; recall vs
     the exact variant is asserted in tests."""
+    from ..sources.scale import shuffle_width, table_num_rows
+
+    n_shards = shuffle_width(
+        n_rows=table_num_rows(sf_dir, "documents") * LSH_BANDS,
+        rows_per_shard=LSH_ROWS_PER_SHARD)
     bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(MinHasher, batch_format="pyarrow",
+                          fn_constructor_kwargs={"n_shards": n_shards},
                           batch_size=4096, concurrency=(1, 4)))
 
     def bucket_pairs(band: int, ids: np.ndarray, bh: np.ndarray,
@@ -394,17 +487,13 @@ def q_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over crc32-seeded token hashes weighted by count."""
+    """64-bit SimHash over 64-bit token hashes weighted by count (scalar
+    spec; the stage uses ``_simhash_batch``, asserted equal in tests)."""
     toks = _tokens(text)
     if not toks:
         return 0
     vals, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    h32 = np.array([zlib.crc32(w.encode("utf-8")) for w in vals], dtype=np.uint64)
-    # widen to 64 bits deterministically (splitmix-style):
-    h = h32 * np.uint64(0x9E3779B97F4A7C15)
-    h ^= h >> np.uint64(29)
-    h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(32)
+    h = _hash_tokens(list(vals))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
@@ -415,12 +504,34 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
+def _simhash_batch(texts: list[str]) -> np.ndarray:
+    """(n_docs,) uint64 SimHashes — one batched token hash, one weighted
+    bit accumulation over all docs' distinct-token runs (reduceat per
+    doc), no per-doc Python loop.  Token-hash collisions merge count
+    weight identically in both the scalar and batch forms, so the two are
+    exactly equal."""
+    hs, cnts, offs = _batch_token_runs(texts)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(hs) == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    w = (bits * 2 - 1) * cnts[:, None]
+    nonempty = np.flatnonzero(np.diff(offs) > 0)
+    acc = np.add.reduceat(w, offs[:-1][nonempty], axis=0)
+    vals = ((acc > 0).astype(np.uint64)
+            << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = vals
+    return out
+
+
 class SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes = [simhash64(t) for t in batch.column("text").to_pylist()]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
+            "simhash": pa.array(
+                _simhash_batch(batch.column("text").to_pylist())),
         })
 
 
@@ -448,6 +559,11 @@ def q_simhash_pairs(sf_dir: str,
     exactly once — from its FIRST agreeing band — so no driver-side
     dedup set is needed.  Only the (tiny) verified pair list reaches the
     driver."""
+    from ..sources.scale import shuffle_width, table_num_rows
+
+    n_shards = shuffle_width(
+        n_rows=table_num_rows(sf_dir, "documents") * 4,
+        rows_per_shard=LSH_ROWS_PER_SHARD)
     sh = q_simhash(sf_dir)
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -459,7 +575,7 @@ def q_simhash_pairs(sf_dir: str,
         keys = ((hh >> (band_ix * np.uint64(16))) &
                 np.uint64(0xFFFF)).astype(np.uint32)
         shard = ((keys.astype(np.uint64) * np.uint64(0x9E3779B1) + band_ix)
-                 % np.uint64(LSH_SHARDS)).astype(np.int32)
+                 % np.uint64(n_shards)).astype(np.int32)
         return pa.table({
             "shard": pa.array(shard),
             "band": pa.array(band_ix.astype(np.int32)),

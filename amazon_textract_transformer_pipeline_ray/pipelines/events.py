@@ -84,10 +84,15 @@ def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
     before the event time (event.user_id = orders.o_custkey,
     o_orderdate <= ts); per event_type: matched count + avg matched price.
 
-    Orders is the small side — deduped to one row per (custkey, orderdate)
-    (max price; keeps the as-of pick deterministic), broadcast sorted, then
-    ``pd.merge_asof`` inside each batch.  Both-sides-big variant: bucket
-    both by hash(user) and merge_asof per bucket in map_groups.
+    BROADCAST-SIDE BASELINE, deliberately: orders is a fact table by the
+    ``sources/tables.py`` convention, but at bench scale its deduped
+    (custkey, orderdate) projection is ~100k rows — small enough to
+    broadcast, which keeps this variant shuffle-free and makes it the
+    oracle-anchored baseline.  The DEFAULT plan at scale is the
+    both-sides-big twin ``q_events_asof_orders_bucketed`` (identical
+    result, same SQL oracle): use it whenever the deduped order side
+    can't ride ``ray.put``.  The dedup keeps one row per (custkey,
+    orderdate) (max price) so the as-of pick is deterministic.
     """
     orders = read_small_pandas(
         sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
@@ -140,14 +145,21 @@ def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
     return final.map_batches(finish, batch_format="pyarrow")
 
 
-def q_events_asof_orders_bucketed(sf_dir: str, n_buckets: int = 32) -> rd.Dataset:
-    """Both-sides-big as-of join: BOTH tables are hash-bucketed by user
-    key (one shuffle groupby over the union), and ``merge_asof`` runs per
-    bucket inside ``map_groups`` — the scale path when neither side fits
-    a broadcast.  Result is identical to the broadcast variant
-    (``q_events_asof_orders``) and checked against the same SQL oracle."""
-    import zlib
+def q_events_asof_orders_bucketed(sf_dir: str,
+                                  n_buckets: int | None = None) -> rd.Dataset:
+    """Both-sides-big as-of join — the DEFAULT plan shape at scale: BOTH
+    tables are hash-bucketed by user key (one shuffle groupby over the
+    union), and ``merge_asof`` runs per bucket inside ``map_groups`` —
+    no broadcast of either side.  Result is identical to the
+    broadcast-baseline variant (``q_events_asof_orders``) and checked
+    against the same SQL oracle.  Bucket count sized by cluster and row
+    count (sources/scale.py) so per-bucket memory stays bounded."""
+    from ..sources.scale import shuffle_width, table_num_rows
 
+    if n_buckets is None:
+        n_rows = (table_num_rows(sf_dir, "events")
+                  + table_num_rows(sf_dir, "orders"))
+        n_buckets = shuffle_width(n_rows=n_rows, rows_per_shard=262144)
     orders = read_table(sf_dir, "orders",
                         ["o_custkey", "o_orderdate", "o_totalprice"])
     events = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
@@ -184,9 +196,10 @@ def q_events_asof_orders_bucketed(sf_dir: str, n_buckets: int = 32) -> rd.Datase
                                          batch_size=65536)))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        users = batch.column("user").to_numpy()
-        b = np.array([zlib.crc32(str(u).encode()) % n_buckets for u in users],
-                     dtype=np.int32)
+        # vectorized integer multiplicative hash (same mix as graph.py):
+        users = batch.column("user").to_numpy().astype(np.uint64)
+        b = ((users * np.uint64(0x9E3779B1)) % np.uint64(2**32)
+             % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
 
     bucketed = unioned.map_batches(add_bucket, batch_format="pyarrow",

@@ -5,30 +5,35 @@ documents are similar"; production dedup needs the CLUSTER view — keep
 one representative per connected component of the similarity graph.
 
 ``connected_components`` is iterative min-label propagation expressed in
-Ray Dataset ops (the standard MapReduce connected-components shape):
+Ray Dataset ops (the standard MapReduce connected-components shape), with
+a POINTER-JUMPING round after every edge round so label paths compress
+multiplicatively — iterations scale O(log diameter), not O(diameter)
+(long similarity chains, e.g. chained near-dups at threshold 0.9, would
+otherwise need diameter rounds):
 
     labels(node) <- node                                   # init
     repeat:
-        # one keyed shuffle: co-locate each node's label with its
-        # out-edges (coarse hash shards + local dict join — the same
-        # shard-group pattern as the LSH bucket stages; Dataset.join is
-        # avoided deliberately: joining a union+groupby lineage trips
-        # Ray's empty-schema partition handling):
-        msgs   = shard-group(labels ∪ edges) -> (b, label_a) + labels
-        labels = msgs.groupby(node).min(label)             # hash aggregate
+        # edge round — one keyed shuffle co-locates each node's label
+        # with its out-edges (coarse hash shards + local sorted-array
+        # join — the same shard-group pattern as the LSH bucket stages;
+        # Dataset.join is avoided deliberately: joining a union+groupby
+        # lineage trips Ray's empty-schema partition handling):
+        labels = min-label round over   graph edges
+        # pointer round — same machinery over the label graph itself
+        # (label(v) -> v), i.e. label(v) <- label(label(v)):
+        labels = min-label round over   pointer edges
     until the label sum stops changing (monotone non-increasing, so the
-    fixpoint test is exact); iterations ~ graph diameter (near-dup
-    clusters are dense, so a handful).
+    fixpoint test is exact).
 
 The driver holds only the convergence scalar — edges and labels stay
-distributed.  ``q_jaccard_dedup_clusters`` runs it over the EXACT
-Jaccard pair graph, so the whole operator is SQL-checkable against a
-DuckDB recursive-CTE closure (see ``__ray_entry__.oracle_sql``).
+distributed.  Non-convergence within ``max_iters`` RAISES (a warning
+would silently return split components and downstream dedup would keep
+extra "representatives").  ``q_jaccard_dedup_clusters`` runs it over the
+EXACT Jaccard pair graph, so the whole operator is SQL-checkable against
+a DuckDB recursive-CTE closure (see ``__ray_entry__.oracle_sql``).
 """
 
 from __future__ import annotations
-
-import logging
 
 import numpy as np
 import pandas as pd
@@ -38,14 +43,10 @@ from ray.data.aggregate import Min, Sum
 
 from ..sources.tables import read_table
 
-logger = logging.getLogger(__name__)
 
-N_CC_SHARDS = 32
-
-
-def _shard_of(keys: np.ndarray) -> np.ndarray:
+def _shard_of(keys: np.ndarray, n_shards: int) -> np.ndarray:
     return ((keys.astype(np.uint64) * np.uint64(0x9E3779B1)) %
-            np.uint64(2**32) % np.uint64(N_CC_SHARDS)).astype(np.int32)
+            np.uint64(2**32) % np.uint64(n_shards)).astype(np.int32)
 
 
 def connected_components(
@@ -58,7 +59,21 @@ def connected_components(
     ``edges``: columns (a, b) int64, undirected (either orientation);
     ``nodes``: column (node) int64 — every node, including isolated ones
     (they map to themselves).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iters`` double rounds (with pointer jumping that is ~log2 of
+    the largest component diameter — 50 covers any realistic graph).
     """
+    from ..sources.scale import shuffle_width
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").cast(pa.int64())
+        return pa.table({"node": n, "label": n})
+
+    labels = nodes.map_batches(init_labels,
+                               batch_format="pyarrow").materialize()
+    n_nodes = labels.count()
+    n_shards = shuffle_width(n_rows=n_nodes, rows_per_shard=262144)
 
     def to_edge_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy().astype(np.int64)
@@ -66,7 +81,7 @@ def connected_components(
         key = np.concatenate([a, b])   # symmetric: both directions
         val = np.concatenate([b, a])
         return pa.table({
-            "shard": pa.array(_shard_of(key)),
+            "shard": pa.array(_shard_of(key, n_shards)),
             "key": pa.array(key),
             "val": pa.array(val),
             "is_label": pa.array(np.zeros(len(key), dtype=np.int8)),
@@ -74,10 +89,6 @@ def connected_components(
 
     edge_rows = edges.map_batches(to_edge_rows,
                                   batch_format="pyarrow").materialize()
-
-    def init_labels(batch: pa.Table) -> pa.Table:
-        n = batch.column("node").cast(pa.int64())
-        return pa.table({"node": n, "label": n})
 
     def to_label_rows(batch: pa.Table) -> pa.Table:
         if "node" not in batch.column_names:  # empty-schema block
@@ -87,10 +98,30 @@ def connected_components(
                              "is_label": pa.array([], pa.int8())})
         node = batch.column("node").to_numpy().astype(np.int64)
         return pa.table({
-            "shard": pa.array(_shard_of(node)),
+            "shard": pa.array(_shard_of(node, n_shards)),
             "key": pa.array(node),
             "val": batch.column("label").cast(pa.int64()),
             "is_label": pa.array(np.ones(len(node), dtype=np.int8)),
+        })
+
+    def to_pointer_rows(batch: pa.Table) -> pa.Table:
+        """Label graph as edges: (key=label(v), val=v) — the message
+        "v, adopt label(label(v))" of the pointer-jumping round.  Label
+        values are node ids, so every key has its label row co-sharded."""
+        if "node" not in batch.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"shard": pa.array([], pa.int32()), "key": z,
+                             "val": z,
+                             "is_label": pa.array([], pa.int8())})
+        node = batch.column("node").to_numpy().astype(np.int64)
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        m = lab != node  # self-pointers carry no information
+        key, val = lab[m], node[m]
+        return pa.table({
+            "shard": pa.array(_shard_of(key, n_shards)),
+            "key": pa.array(key),
+            "val": pa.array(val),
+            "is_label": pa.array(np.zeros(len(key), dtype=np.int8)),
         })
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
@@ -111,23 +142,32 @@ def connected_components(
             "label": np.concatenate([lab_vals, src_label]),
         })
 
-    labels = nodes.map_batches(init_labels,
-                               batch_format="pyarrow").materialize()
-    prev_sum = None
-    for it in range(max_iters):
+    def min_label_round(labels: rd.Dataset,
+                        extra_rows: rd.Dataset) -> rd.Dataset:
         rows = labels.map_batches(to_label_rows,
-                                  batch_format="pyarrow").union(edge_rows)
+                                  batch_format="pyarrow").union(extra_rows)
         msgs = rows.groupby("shard").map_groups(propagate,
                                                 batch_format="pandas")
-        labels = (msgs.groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .materialize())
+        return (msgs.groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+                .materialize())
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # graph round, then pointer-jump round over the fresh labels:
+        labels = min_label_round(labels, edge_rows)
+        labels = min_label_round(
+            labels, labels.map_batches(to_pointer_rows,
+                                       batch_format="pyarrow"))
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:  # exact fixpoint:
             break  # label sum is monotone non-increasing
         prev_sum = cur
     else:
-        logger.warning("connected_components hit max_iters=%d", max_iters)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "double rounds — component diameter exceeds 2^iters; raise "
+            "max_iters")
 
     def finish(t: pa.Table) -> pa.Table:
         if "node" not in t.column_names:

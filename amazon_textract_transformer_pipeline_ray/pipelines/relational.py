@@ -162,20 +162,22 @@ def q_nation_supplier_revenue(sf_dir: str) -> rd.Dataset:
     groupby."""
     supplier = read_small_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     nation = read_small_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
-    supp_to_nation = dict(zip(
-        supplier["s_suppkey"],
-        supplier["s_nationkey"].map(
-            dict(zip(nation["n_nationkey"], nation["n_name"]))),
-    ))
-    ref = broadcast(supp_to_nation)
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    order = np.argsort(supplier["s_suppkey"].to_numpy())
+    supp_keys = supplier["s_suppkey"].to_numpy()[order].astype(np.int64)
+    supp_nation = np.asarray(
+        [nation_name[k] for k in supplier["s_nationkey"].to_numpy()[order]],
+        dtype=object)
+    ref = broadcast((supp_keys, supp_nation))
 
     class AttachNation:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["l_suppkey"].to_numpy()
-            names = [self.lookup[int(kk)] for kk in keys]
+            # vectorized lookup: sorted-key searchsorted, no per-row dict
+            keys = batch["l_suppkey"].to_numpy().astype(np.int64)
+            names = self.names[np.searchsorted(self.keys, keys)]
             return pa.table({"n_name": pa.array(names, pa.string()),
                              "rev_cp": pa.array(_rev_scaled(batch))})
 
@@ -246,9 +248,15 @@ def q_orders_lineitem_join(sf_dir: str) -> rd.Dataset:
             rev_cp=("rev_cp", "sum"), n_lines=("rev_cp", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from ..sources.scale import join_width, table_num_rows
+
+    # Join width sized by data with a cluster-proportional cap
+    # (sources/scale.py:join_width — per-partition fixed costs dominate
+    # below ~262k rows/partition).
+    width = join_width(table_num_rows(sf_dir, "lineitem"))
     partials = lineitem.map_batches(rev, batch_format="pyarrow",
                                     batch_size=65536)
-    joined = orders.join(partials, join_type="inner", num_partitions=16,
+    joined = orders.join(partials, join_type="inner", num_partitions=width,
                          on=("o_orderkey",), right_on=("l_orderkey",))
     final = joined.groupby("o_orderstatus").aggregate(
         Sum("rev_cp", alias_name="rev_cp"),
@@ -269,7 +277,9 @@ def q_orders_lineitem_join(sf_dir: str) -> rd.Dataset:
 # Semi / anti joins (broadcast key set)
 # ---------------------------------------------------------------------------
 
-def _order_custkeys(sf_dir: str, status: str | None = None) -> set[int]:
+def _order_custkeys(sf_dir: str, status: str | None = None) -> pa.Array:
+    """Distinct customer keys having orders (optionally of one status), as
+    an Arrow array ready for vectorized ``pc.is_in`` membership."""
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
@@ -277,12 +287,13 @@ def _order_custkeys(sf_dir: str, status: str | None = None) -> set[int]:
         ds = ds.map_batches(
             lambda t, s=status: t.filter(pc.equal(t["o_orderstatus"], s)),
             batch_format="pyarrow")
-    return set(ds.unique("o_custkey"))
+    return pa.array(sorted(ds.unique("o_custkey")), pa.int64())
 
 
 def q_customers_with_open_orders(sf_dir: str) -> pd.DataFrame:
     """Semi join: customers having >=1 order with status 'O', counted per
-    market segment.  The key set is broadcast; customer never shuffles."""
+    market segment.  The key set is broadcast; customer never shuffles;
+    membership is one vectorized ``pc.is_in`` kernel per batch."""
     keys = broadcast(_order_custkeys(sf_dir, "O"))
 
     class Semi:
@@ -290,8 +301,10 @@ def q_customers_with_open_orders(sf_dir: str) -> pd.DataFrame:
             self.keys = ray.get(keys)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([int(kk) in self.keys
-                             for kk in batch["c_custkey"].to_numpy()])
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(pc.cast(batch["c_custkey"], pa.int64()),
+                            value_set=self.keys)
             return batch.filter(mask)
 
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -313,8 +326,11 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
             self.keys = ray.get(keys)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([int(kk) not in self.keys
-                             for kk in batch["c_custkey"].to_numpy()])
+            import pyarrow.compute as pc
+
+            mask = pc.invert(pc.is_in(
+                pc.cast(batch["c_custkey"], pa.int64()),
+                value_set=self.keys))
             return batch.filter(mask)
 
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])

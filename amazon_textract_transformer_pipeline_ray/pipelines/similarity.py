@@ -33,10 +33,20 @@ N_QUERIES = 10  # vec_id < N_QUERIES are the query set
 DUP_COSINE = 0.95
 
 
+def _list_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """Zero-copy ``list<float>`` -> (n, d) float64: flatten the Arrow
+    child buffer and reshape — no per-row Python list materialization."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy()
-    emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, emb
+    return ids, _list_matrix(batch.column("embedding"), len(ids))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -56,7 +66,7 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
                       filters=[("vec_id", "<", N_QUERIES)])
     ids = t.column("vec_id").to_numpy()
     order = np.argsort(ids)
-    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    emb = _list_matrix(t.column("embedding"), len(ids))[order]
     return ids[order], emb
 
 
@@ -72,8 +82,7 @@ def _sample_matrix(sf_dir: str, n: int) -> tuple[np.ndarray, np.ndarray]:
     head = pf.read_row_group(0, columns=["vec_id", "embedding"])
     ids = head.column("vec_id").to_numpy()
     order = np.argsort((ids.astype(np.uint64) * 2654435761) % 2**32)[:n]
-    emb = np.asarray(head.column("embedding").to_pylist(),
-                     dtype=np.float64)[order]
+    emb = _list_matrix(head.column("embedding"), len(ids))[order]
     return ids[order], emb
 
 
@@ -165,8 +174,7 @@ def q_embedding_dup_pairs(sf_dir: str,
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     all_ids = t.column("vec_id").to_numpy()
-    allm = _normalize(np.asarray(t.column("embedding").to_pylist(),
-                                 dtype=np.float64))
+    allm = _normalize(_list_matrix(t.column("embedding"), len(all_ids)))
     ref = broadcast((all_ids, allm))
 
     class Dups:
@@ -211,11 +219,17 @@ def q_embedding_dup_pairs_lsh(sf_dir: str,
 
     Each vector is shipped L times through one shuffle; there is no
     whole-corpus materialization anywhere.  Rows-only; recall vs
-    q_embedding_dup_pairs is asserted in tests."""
-    # Dup detection wants high recall at high cosine: short hashes (4 bit)
-    # x more tables (8) — at threshold 0.95 the per-table collision
-    # probability is ~0.65, so P[miss] ~ (1-0.65)^8 < 2e-4:
-    n_bits, n_tables = 4, 8
+    q_embedding_dup_pairs is asserted in tests.
+
+    Bucket-cost note: candidate work inside a bucket is QUADRATIC in
+    bucket size (triu pair enumeration), so the code/table geometry is
+    what bounds per-task cost — 6-bit codes put ~n/64 of the corpus in a
+    bucket per table; at threshold 0.95 the per-table collision
+    probability is ~0.9^6 ~ 0.53, and 12 tables give P[miss] ~
+    (1-0.53)^12 ~ 1e-4.  For larger corpora raise ``n_bits`` (buckets
+    shrink 2x per bit; add tables to hold recall) rather than letting a
+    bucket degenerate toward all-pairs."""
+    n_bits, n_tables = 6, 12
     planes = _hyperplanes(_embedding_dim(sf_dir), n_bits, n_tables)
     ref = broadcast(planes)
 
@@ -229,14 +243,20 @@ def q_embedding_dup_pairs_lsh(sf_dir: str,
             x = _normalize(emb)
             codes = _bucket_codes(x, self.planes)  # (n, L)
             L, n = self.n_tables, len(ids)
+            d = x.shape[1] if n else 0
+            # columnar fixed-width list assembly (no .tolist() walks):
+            code_vals = pa.array(np.repeat(codes, L, axis=0).reshape(-1))
+            code_offs = pa.array(
+                np.arange(n * L + 1, dtype=np.int32) * L)
+            emb_vals = pa.array(np.repeat(x, L, axis=0).reshape(-1))
+            emb_offs = pa.array(
+                np.arange(n * L + 1, dtype=np.int32) * d)
             return pa.table({
                 "table_ix": pa.array(np.tile(np.arange(L, dtype=np.int32), n)),
                 "bucket": pa.array(codes.reshape(-1)),
                 "vec_id": pa.array(np.repeat(ids, L), pa.int64()),
-                "codes": pa.array(np.repeat(codes, L, axis=0).tolist(),
-                                  pa.list_(pa.uint32())),
-                "nemb": pa.array(np.repeat(x, L, axis=0).tolist(),
-                                 pa.list_(pa.float64())),
+                "codes": pa.ListArray.from_arrays(code_offs, code_vals),
+                "nemb": pa.ListArray.from_arrays(emb_offs, emb_vals),
             })
 
     rows = (read_table(sf_dir, "embeddings", ["vec_id", "embedding"])

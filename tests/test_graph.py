@@ -36,6 +36,33 @@ def test_components_long_chain(ray_session):
     assert all(labels[i] == 0 for i in range(n))
 
 
+def test_components_chain_beyond_plain_propagation(ray_session):
+    # diameter 200 >> max_iters=50: plain min-label propagation cannot
+    # converge; the pointer-jumping round makes it O(log diameter)
+    n = 201
+    edges = [(i, i + 1) for i in range(n - 1)]
+    labels = _cc(edges, list(range(n)))
+    assert all(labels[i] == 0 for i in range(n))
+
+
+def test_components_nonconvergence_raises(ray_session):
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.graph import (
+        connected_components)
+
+    n = 40
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(list(range(n - 1)), pa.int64()),
+        "b": pa.array(list(range(1, n)), pa.int64()),
+    }))
+    nodes = rd.from_arrow(pa.table(
+        {"node": pa.array(list(range(n)), pa.int64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # 1 double round cannot close a 40-chain (needs ~log2(40)+1):
+        connected_components(edges, nodes, max_iters=1).to_pandas()
+
+
 def test_components_no_edges(ray_session):
     labels = _cc([], [7, 8])
     assert labels == {7: 7, 8: 8}

@@ -98,3 +98,39 @@ def test_embedding_dup_lsh_recall(ray_session):
     assert ex, "test corpus should contain pairs at this threshold"
     assert ap <= ex  # exact verification -> no false positives
     assert len(ap & ex) / len(ex) >= 0.5
+
+
+def test_batch_token_kernels_equal_scalar_spec():
+    """The vectorized batch kernels (_batch_token_runs/_minhash_batch/
+    _simhash_batch) must equal the scalar spec functions doc-for-doc —
+    including empty docs, whitespace-only docs and repeated tokens."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.dedup import (
+        _batch_token_runs, _minhash_batch, _simhash_batch, _token_hashes,
+        _tokens, minhash_signature, simhash64)
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()[:120]
+    texts += ["", "   ", "a a a b", "one-token"]
+    hs, cnts, offs = _batch_token_runs(texts)
+    sigs = _minhash_batch(hs, offs)
+    sims = _simhash_batch(texts)
+    from collections import Counter
+
+    for i, t in enumerate(texts):
+        seg = hs[offs[i]:offs[i + 1]]
+        assert np.array_equal(seg, _token_hashes(t)), i
+        # occurrence counts per distinct hash:
+        got = dict(zip(seg.tolist(), cnts[offs[i]:offs[i + 1]].tolist()))
+        if t.strip():
+            exp = Counter()
+            import pandas as pd_
+
+            hh = pd_.util.hash_array(np.asarray(_tokens(t), dtype=object))
+            for v in hh:
+                exp[int(v)] += 1
+            assert got == dict(exp), i
+        assert np.array_equal(sigs[i], minhash_signature(_token_hashes(t))), i
+        assert int(sims[i]) == simhash64(t), i
