@@ -251,6 +251,16 @@ def _x_eval_metrics(sf_dir: str):
         read_transcripts(_transcripts(sf_dir)))])
 
 
+def _x_review_queue(sf_dir: str):
+    """Confidence-gate routing: the turns the reference would send to an
+    A2I human loop, as deterministic task inputs (SQL-checked against
+    the oracle's expected review_queue table)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.review import (
+        q_review_queue_from_paths)
+
+    return q_review_queue_from_paths(_oracle_fixtures(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from amazon_textract_transformer_pipeline_ray.pipelines import (
         corpus,
@@ -275,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_spans": _x_spans,
         "x_eval_metrics": _x_eval_metrics,
         "x_tool_stats": _x_tool_stats,
+        "x_review_queue": _x_review_queue,
         # --- relational (TPC-H-ish; SQL-checked) ---
         "pricing_summary": relational.q_pricing_summary,
         "orders_by_priority": relational.q_orders_by_priority,
@@ -319,10 +330,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_lsh": similarity.q_embedding_knn_lsh,  # rows-only
         "embedding_knn_ivf": similarity.q_embedding_knn_ivf,  # rows-only
         "embedding_dup_pairs_lsh": similarity.q_embedding_dup_pairs_lsh,  # rows-only
-        # --- multimodal plumbing (fake codec; rows-only) ---
+        # --- multimodal plumbing (rows-only; images use the REAL PNG
+        # codec on the png_roundtrip path, FAKE1 elsewhere) ---
         "media_features": multimodal.q_media_features,
         "media_frame_pipeline": multimodal.q_media_frame_pipeline,
         "media_bundle_roundtrip": multimodal.q_media_bundle_roundtrip,
+        "media_png_roundtrip": multimodal.q_media_png_roundtrip,
     }
 
 
@@ -355,6 +368,8 @@ def _sql_registry() -> dict[str, str]:
             SELECT source, target, n_occurrences
             FROM {fix.format(name='seq2seq')}
         """,
+        "x_review_queue":
+            f"SELECT * FROM {fix.format(name='review_queue')}",
         "x_tool_stats": """
             SELECT tool,
                    CAST(COUNT(*) AS BIGINT) AS n_turns,

@@ -47,6 +47,8 @@ import pyarrow.parquet as pq
 FIXTURE_ROOT = "/tmp/attp_oracle"
 CURRENT_LINK = os.path.join(FIXTURE_ROOT, "current")
 TRANSCRIPTS_CURRENT = "/tmp/attp_transcripts/current"
+# bump whenever fixture CONTENT changes so stale /tmp caches regenerate:
+FIXTURE_VERSION = 2
 
 TURNS_FIX_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -271,7 +273,7 @@ def ensure_fixtures(corpus_paths: list[str]) -> str:
     corpus_dir = os.path.dirname(os.path.abspath(corpus_paths[0]))
     link_transcripts_current(corpus_dir)
     tag = os.path.basename(corpus_dir) or "corpus"
-    fix_dir = os.path.join(FIXTURE_ROOT, tag)
+    fix_dir = os.path.join(FIXTURE_ROOT, f"{tag}-v{FIXTURE_VERSION}")
     marker = os.path.join(fix_dir, "_SUCCESS")
     if os.path.exists(marker):
         _relink(CURRENT_LINK, fix_dir)
@@ -316,9 +318,15 @@ def ensure_fixtures(corpus_paths: list[str]) -> str:
     }, SEQ2SEQ_FIX_SCHEMA)
 
     # review queue = turns flagged for human review (reference confidence
-    # gate, pipeline/__init__.py:288-301):
+    # gate, pipeline/__init__.py:288-301) + the deterministic human-task
+    # name (independent re-statement of pipelines/review.task_name_for —
+    # the ids contain no specials, so the sanitize pass is the identity):
     review = turns.filter(
         pa.compute.equal(turns.column("review_needed"), True))
+    review = review.append_column("task_name", pa.array(
+        [f"review-{c}-{t}" for c, t in
+         zip(review.column("conv_id").to_pylist(),
+             review.column("turn_idx").to_pylist())], pa.string()))
 
     tmp = f"{fix_dir}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)

@@ -7,12 +7,14 @@ bytes, ``notebooks/preproc/textract_transformers/preproc.py:61-173``;
 reader ``inference.py:236-275``) is the template: binary payloads ride
 next to typed metadata, decode/resize happen once per worker-held stage.
 
-The image/audio codec libraries are NOT in this container, so the codec
-itself is stubbed: payloads use a deterministic fake container format
-(``FAKE1`` header + raw little-endian dims + seeded bytes) and
-``decode_real`` raises ``NotImplementedError`` behind an import-try.
-Everything around the codec — schema, batch sizing for large binary rows,
-actor signature, output layout — is real and tested.
+Codecs: STILL IMAGES ARE REAL — payloads can be genuine PNG files,
+encoded/decoded by the in-repo pure numpy+zlib codec
+(``functions/png.py``; PIL is used instead when importable).  The
+deterministic ``FAKE1`` container (header + raw little-endian dims +
+seeded bytes) remains for audio/video, whose codec libraries are not in
+this container — that is the one remaining stub, gated in
+``decode_real``.  Every stage sniffs the container magic, so PNG and
+FAKE1 payloads mix freely in one column.
 
 Batch-size guidance for binary rows (ray_guide 'Memory-aware'): payload
 rows here are ~0.1-1 MB, so stages run with small ``batch_size`` (32) and
@@ -61,14 +63,22 @@ def encode_fake(kind: str, rng: np.random.Generator) -> tuple[bytes, dict]:
     return header + body, meta
 
 
-def gen_media_table(n: int, seed: int = 20260817) -> pa.Table:
-    """Deterministic media fixture table."""
+def gen_media_table(n: int, seed: int = 20260817,
+                    image_codec: str = "fake") -> pa.Table:
+    """Deterministic media fixture table.  ``image_codec="png"`` encodes
+    the image rows as REAL PNG files (same pixel content, real
+    container) via functions/png.py."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         rng = np.random.default_rng([seed, i])
         kind = kinds[i % 3]
         payload, meta = encode_fake(kind, rng)
+        if kind == "image" and image_codec == "png":
+            from ..functions.png import encode_png
+
+            _, arr = decode_fake(payload)
+            payload = encode_png(arr, filter_type=4)
         rows.append({"media_id": i, "kind": kind, "payload": payload, **meta})
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
@@ -87,16 +97,40 @@ def decode_fake(payload: bytes) -> tuple[str, np.ndarray]:
     return kind, body.reshape(nf, h, w, c)
 
 
-def decode_real(payload: bytes):  # pragma: no cover - container lacks codecs
-    """Real-codec path, gated on optional libraries (absent here)."""
-    try:
-        import PIL.Image  # noqa: F401
+def decode_auto(payload: bytes) -> tuple[str, np.ndarray]:
+    """Container-sniffing decode: real PNG (functions/png.py) or the
+    deterministic FAKE1 container — PNG and FAKE1 rows mix freely."""
+    from ..functions.png import PNG_SIGNATURE, decode_png
+
+    if payload.startswith(PNG_SIGNATURE):
+        return "image", decode_png(payload)
+    return decode_fake(payload)
+
+
+def decode_real(payload: bytes) -> tuple[str, np.ndarray]:
+    """Real-codec-only path: PNG images decode for real (PIL when
+    importable, else the in-repo pure numpy+zlib codec); audio/video
+    codecs are not installed in this container — that residual stub
+    raises behind the import-try."""
+    from ..functions.png import PNG_SIGNATURE, decode_png
+
+    if payload.startswith(PNG_SIGNATURE):
+        try:  # pragma: no cover - PIL absent in this container
+            import io
+
+            import PIL.Image
+
+            return "image", np.asarray(PIL.Image.open(io.BytesIO(payload)))
+        except ImportError:
+            return "image", decode_png(payload)
+    try:  # pragma: no cover - container lacks av codecs
+        import av  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "Real image/audio codecs are not installed in this environment; "
-            "the pipeline runs with the deterministic FAKE1 codec instead."
-        ) from e
-    raise NotImplementedError("wire PIL/librosa decode here")
+            "Audio/video codecs are not installed in this environment; "
+            "still images use the real PNG codec, audio/video runs on the "
+            "deterministic FAKE1 container instead.") from e
+    raise NotImplementedError("wire av decode here")  # pragma: no cover
 
 
 class MediaFeatures:
@@ -106,7 +140,7 @@ class MediaFeatures:
     Real numpy compute on the decoded arrays; only the codec is fake."""
 
     def __init__(self, use_real_codec: bool = False):
-        self.decode = decode_real if use_real_codec else decode_fake
+        self.decode = decode_real if use_real_codec else decode_auto
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -154,18 +188,24 @@ class ImageResize:
         self.max_size = max_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.png import PNG_SIGNATURE, encode_png
+
         rows = batch.to_pylist()
         for row in rows:
             if row["kind"] != "image":
                 continue
-            _, arr = decode_fake(row["payload"])
+            is_png = row["payload"].startswith(PNG_SIGNATURE)
+            _, arr = decode_auto(row["payload"])
             out = self._resize(arr, self.target,
                                default_square=self.default_square,
                                letterbox_color=self.letterbox_color,
                                max_size=self.max_size)
             h, w, c = out.shape
-            header = _MAGIC + b"i" + struct.pack("<iiiii", w, h, c, 0, 1)
-            row["payload"] = header + out.tobytes()
+            if is_png:  # re-encode in the input's container
+                row["payload"] = encode_png(out, filter_type=4)
+            else:
+                header = _MAGIC + b"i" + struct.pack("<iiiii", w, h, c, 0, 1)
+                row["payload"] = header + out.tobytes()
             row["width"] = w
             row["height"] = h
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
@@ -294,6 +334,33 @@ def q_media_bundle_roundtrip(sf_dir: str) -> pd.DataFrame:
                              batch_size=32, concurrency=(1, 2)).to_pandas()
     shutil.rmtree(out_dir, ignore_errors=True)
     return feats.sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_png_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """REAL-codec image pipeline: PNG payloads (pure numpy+zlib codec,
+    functions/png.py) -> resize stage (decodes PNG, re-encodes PNG) ->
+    feature stage under ``use_real_codec=True`` — no fake containers
+    anywhere on this path.  Rows-only at the driver; pixel equality of
+    the codec roundtrip is asserted in tests."""
+    import os
+
+    sf = 0.01
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        pass
+    n = max(60, int(6000 * sf))
+    # every 3rd row of the fixture is an image; keep only those:
+    table = gen_media_table(n, image_codec="png")
+    table = table.filter(pa.compute.equal(table.column("kind"), "image"))
+    ds = rd.from_arrow(table)
+    resized = ds.map_batches(ImageResize, batch_format="pyarrow",
+                             batch_size=32, concurrency=(1, 2))
+    feats = resized.map_batches(
+        MediaFeatures, fn_constructor_kwargs={"use_real_codec": True},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
+    return feats.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:

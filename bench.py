@@ -16,16 +16,16 @@ environment, and reports per-level medians and bests plus scaling
 efficiency.  Default levels 8 and 32 (override:
 ``GRAFT_SCALING_CPUS=6,24``); 3 pairs (``GRAFT_SCALING_PAIRS``).
 
-Each pair is followed by a pure-kernel process-scaling CONTROL (the same
-extraction kernel in N vs 4N plain processes, no Ray): on one box, 4N
-co-located workers share all-core frequency limits, memory bandwidth and
-one kernel — an envelope a real 4N-NODE cluster does not share (each
-node runs at the N-worker regime).  The headline ``value`` is therefore
-the NORMALIZED efficiency = raw Ray efficiency / kernel-control
-efficiency, which isolates what the engine adds on top of the host's own
-envelope; the raw numbers are always reported alongside
-(``efficiency_raw``, ``kernel_efficiency``).  ``--kernel-scaling`` runs
-the control alone.
+The headline ``value`` is the RAW efficiency (T_hi/T_lo)/(hi/lo) —
+directly comparable across rounds.  Each Ray measurement is immediately
+followed by a pure-kernel process-scaling CONTROL (the same extraction
+kernel in N / 4N plain processes, no Ray): on one box, 4N co-located
+workers share all-core frequency limits, memory bandwidth and one
+kernel — an envelope a real 4N-NODE cluster does not share (each node
+runs at the N-worker regime).  ``efficiency_normalized`` = raw /
+kernel-control efficiency is reported as a SECONDARY diagnostic that
+isolates what the engine adds on top of the host's own envelope.
+``--kernel-scaling`` runs the control alone.
 """
 
 from __future__ import annotations
@@ -165,23 +165,41 @@ def _kernel_worker(p_idx: int, dur: float, q) -> None:
 
 
 def _kernel_rate(n_procs: int, dur: float = 5.0) -> float:
-    """Aggregate turns/s of n_procs independent no-Ray kernel processes."""
+    """Aggregate turns/s of n_procs independent no-Ray kernel processes.
+
+    Bounded: a worker that dies before reporting (import error, OOM
+    kill) fails the measurement loudly instead of hanging the q.get."""
     import multiprocessing as mp
+    import queue as queue_mod
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     q = mp.Queue()
     procs = [mp.Process(target=_kernel_worker, args=(i, dur, q))
              for i in range(n_procs)]
     [pr.start() for pr in procs]
-    rate = sum(q.get() for _ in procs)
-    [pr.join() for pr in procs]
-    return rate
+    rates = []
+    try:
+        for _ in procs:
+            rates.append(q.get(timeout=dur * 3 + 30))
+    except queue_mod.Empty:
+        codes = [pr.exitcode for pr in procs]
+        raise RuntimeError(
+            f"kernel control: {n_procs - len(rates)} of {n_procs} workers "
+            f"never reported (exit codes {codes})") from None
+    finally:
+        for pr in procs:
+            pr.join(timeout=30)
+            if pr.is_alive():
+                pr.terminate()
+    return sum(rates)
 
 
 def run_scaling() -> dict:
-    """Interleaved N / 4N fresh-process runs -> raw scaling efficiency,
-    with a same-window pure-kernel control per pair -> normalized
-    efficiency (the headline value; see module docstring)."""
+    """Interleaved N / 4N fresh-process runs -> RAW scaling efficiency
+    (the headline value, comparable across rounds), with a pure-kernel
+    process-scaling control run immediately adjacent to each Ray
+    measurement -> normalized efficiency as a SECONDARY diagnostic (see
+    module docstring)."""
     levels = [int(x) for x in
               os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")]
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
@@ -201,11 +219,13 @@ def run_scaling() -> dict:
 
     walls: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
     krates: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
+    # Each Ray measurement is immediately followed by its kernel control
+    # at the same parallelism, so control and measurement share a noise
+    # window as closely as a sequential protocol allows:
     for _ in range(n_pairs):
         walls[lo_cpus].append(run(lo_cpus))
-        walls[hi_cpus].append(run(hi_cpus))
-        # same-noise-window kernel control at both levels:
         krates[lo_cpus].append(_kernel_rate(lo_cpus))
+        walls[hi_cpus].append(run(hi_cpus))
         krates[hi_cpus].append(_kernel_rate(hi_cpus))
 
     med_lo = statistics.median(walls[lo_cpus])
@@ -219,12 +239,12 @@ def run_scaling() -> dict:
     kern_eff = (statistics.median(krates[hi_cpus])
                 / statistics.median(krates[lo_cpus])) / factor
     return {
-        "metric": "scaling_efficiency_normalized",
-        "value": round(eff_median / kern_eff, 3),
+        "metric": "scaling_efficiency_raw",
+        "value": round(eff_median, 3),
         "unit": "ratio",
-        "efficiency_raw": round(eff_median, 3),
         "efficiency_raw_best": round(eff_best, 3),
         "kernel_efficiency": round(kern_eff, 3),
+        "efficiency_normalized": round(eff_median / kern_eff, 3),
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
         "walls_lo_sec": [round(w, 2) for w in walls[lo_cpus]],
@@ -235,11 +255,14 @@ def run_scaling() -> dict:
         "turns_per_sec_hi": round(n / med_hi, 1),
         "n_turns": n,
         "protocol": (
-            "interleaved fresh-process pairs + same-window no-Ray kernel "
-            "control, identical input, median per level; value = raw "
-            "efficiency / kernel-control efficiency (isolates engine "
-            "scaling from the host's co-located 4N-worker envelope, which "
-            "separate nodes do not share); see BASELINE.md"),
+            "interleaved fresh-process runs (lo, hi alternating), each "
+            "followed immediately by a no-Ray kernel process-scaling "
+            "control at the same parallelism; identical input, median per "
+            "level.  value = RAW efficiency (T_hi/T_lo)/(hi/lo); "
+            "efficiency_normalized = raw / kernel-control efficiency "
+            "(diagnostic: isolates engine scaling from the host's "
+            "co-located 4N-worker envelope, which separate cluster nodes "
+            "do not share); see BASELINE.md"),
     }
 
 

@@ -97,3 +97,80 @@ def test_bundle_roundtrip_query(ray_session):
 
     df = q_media_bundle_roundtrip("/root/testdata/sf0.001")
     assert len(df) > 0 and (df["kind"] == "image").all()
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (functions/png.py)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters_and_shapes():
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.functions.png import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 1), (3, 5, 3), (16, 16, 3), (7, 1, 4), (33, 17, 2)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            assert np.array_equal(a, decode_png(encode_png(a, ft))), (shape, ft)
+    # gradients stress the Average/Paeth predictors:
+    g = (np.add.outer(np.arange(40), np.arange(60)) % 256).astype(np.uint8)
+    g3 = g[:, :, None].repeat(3, axis=2)
+    for ft in range(5):
+        assert np.array_equal(g3, decode_png(encode_png(g3, ft)))
+    # predictive filters actually compress smooth content:
+    assert len(encode_png(g3, 4)) < len(encode_png(g3, 0)) / 2
+
+
+def test_png_decode_rejects_corruption():
+    import numpy as np
+    import pytest as pt
+
+    from amazon_textract_transformer_pipeline_ray.functions.png import (
+        decode_png, encode_png)
+
+    data = bytearray(encode_png(
+        np.zeros((4, 4, 3), dtype=np.uint8)))
+    with pt.raises(ValueError, match="signature"):
+        decode_png(b"FAKE" + bytes(data))
+    data[20] ^= 0xFF  # flip a bit inside IHDR body -> CRC mismatch
+    with pt.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_decode_auto_mixes_png_and_fake():
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.functions.png import (
+        encode_png)
+    from amazon_textract_transformer_pipeline_ray.pipelines.multimodal import (
+        decode_auto, decode_real, encode_fake)
+
+    rng = np.random.default_rng(3)
+    fake_payload, _ = encode_fake("image", rng)
+    kind, arr_fake = decode_auto(fake_payload)
+    assert kind == "image" and arr_fake.ndim == 3
+    a = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    kind, arr_png = decode_auto(encode_png(a))
+    assert kind == "image" and np.array_equal(arr_png, a)
+    # decode_real: PNG is a real codec path (no PIL in this container);
+    # audio/video raises the documented residual stub error
+    kind, arr_real = decode_real(encode_png(a))
+    assert np.array_equal(arr_real, a)
+    audio_payload, _ = encode_fake("audio", np.random.default_rng(4))
+    import pytest as pt
+
+    with pt.raises(NotImplementedError, match="Audio/video"):
+        decode_real(audio_payload)
+
+
+def test_png_resize_pipeline(ray_session):
+    """q_media_png_roundtrip: real-codec-only path end to end."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.multimodal import (
+        q_media_png_roundtrip)
+
+    out = q_media_png_roundtrip("/root/testdata/sf0.001")
+    assert len(out) == 20  # 60 rows / 3 kinds -> 20 images
+    assert (out["kind"] == "image").all()
+    assert (out["n_bytes"] > 0).all()
