@@ -324,7 +324,7 @@ def q_minhash_lsh_pairs(sf_dir: str,
 
     Candidate generation AND verification run in ONE distributed stage.
     The shuffle key is a coarse hash SHARD of (band, hash) — see
-    ``LSH_SHARDS`` — and each shard task segments its rows into exact
+    ``LSH_ROWS_PER_SHARD`` — and each shard task segments its rows into exact
     buckets locally.  Inside a bucket, a pair is emitted only when this
     band is the pair's FIRST colliding band (vectorized over the
     bucket's band-hash matrix), so the global candidate set is exactly
