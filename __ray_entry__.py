@@ -261,6 +261,66 @@ def _x_review_queue(sf_dir: str):
     return q_review_queue_from_paths(_oracle_fixtures(sf_dir))
 
 
+def _aux(sf_dir: str, name: str) -> None:
+    """Guarantee the independent-oracle expected table ``name`` exists
+    for this corpus and ``/tmp/attp_oracle_aux/current`` points at it
+    (static paths read by ``oracle_sql()`` — see
+    ``amazon_textract_transformer_pipeline_ray/oracle_fixture_aux.py``)."""
+    from amazon_textract_transformer_pipeline_ray.oracle_fixture_aux import (
+        ensure_aux_fixture)
+
+    ensure_aux_fixture(sf_dir, name)
+
+
+def _w_doc_fingerprint_rolling(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import text
+
+    _aux(sf_dir, "rolling_fp")
+    return text.q_doc_fingerprint_rolling(sf_dir)
+
+
+def _w_simhash(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import dedup
+
+    _aux(sf_dir, "simhash")
+    return dedup.q_simhash(sf_dir)
+
+
+def _w_simhash_pairs(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import dedup
+
+    _aux(sf_dir, "simhash_pairs")
+    return dedup.q_simhash_pairs(sf_dir)
+
+
+def _w_winnow_fingerprints(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import dedup
+
+    _aux(sf_dir, "winnow")
+    return dedup.q_winnow_fingerprints_exploded(sf_dir)
+
+
+def _w_minhash_lsh_pairs(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import dedup
+
+    _aux(sf_dir, "minhash_pairs")
+    return dedup.q_minhash_lsh_pairs(sf_dir)
+
+
+def _w_embedding_knn_lsh(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    _aux(sf_dir, "knn_lsh")
+    return similarity.q_embedding_knn_lsh(sf_dir)
+
+
+def _w_embedding_dup_pairs_lsh(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    _aux(sf_dir, "dup_pairs_lsh")
+    return similarity.q_embedding_dup_pairs_lsh(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from amazon_textract_transformer_pipeline_ray.pipelines import (
         corpus,
@@ -312,24 +372,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals": text.q_token_totals,
         "token_totals_bpe": text.q_token_totals_bpe,
         "doc_fingerprint": text.q_doc_fingerprint,
-        "doc_fingerprint_rolling": text.q_doc_fingerprint_rolling,  # rows-only
+        "doc_fingerprint_rolling": _w_doc_fingerprint_rolling,  # SQL-checked
+        # (independent-oracle fixture)
         "doc_dedup_exact": text.q_doc_dedup_exact,
         "doc_quality": text.q_doc_quality,
         "doc_length_quantiles": text.q_doc_length_quantiles,
-        "doc_langid": text.q_doc_langid,  # heuristic; rows-only
-        # --- dedup suite ---
-        "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,       # SQL-checked
-        "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,  # SQL-checked
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,       # rows-only
-        "simhash": dedup.q_simhash,                           # rows-only
-        "simhash_pairs": dedup.q_simhash_pairs,               # rows-only
-        "winnow_fingerprints": dedup.q_winnow_fingerprints,   # rows-only
+        "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
+        # --- dedup suite (SQL-checked: DuckDB directly where expressible,
+        # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
+        "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
+        "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,
+        "minhash_lsh_pairs": _w_minhash_lsh_pairs,
+        "simhash": _w_simhash,
+        "simhash_pairs": _w_simhash_pairs,
+        "winnow_fingerprints": _w_winnow_fingerprints,  # exploded driver view
         # --- similarity search ---
         "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
         "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
-        "embedding_knn_lsh": similarity.q_embedding_knn_lsh,  # rows-only
-        "embedding_knn_ivf": similarity.q_embedding_knn_ivf,  # rows-only
-        "embedding_dup_pairs_lsh": similarity.q_embedding_dup_pairs_lsh,  # rows-only
+        "embedding_knn_lsh": _w_embedding_knn_lsh,  # SQL-checked (fixture)
+        "embedding_knn_ivf": similarity.q_embedding_knn_ivf,  # rows-only:
+        # Lloyd partial sums make centroids batch-order-sensitive in f64,
+        # so a bit-stable expected table is not well-defined; recall and
+        # determinism gates live in tests
+        "embedding_dup_pairs_lsh": _w_embedding_dup_pairs_lsh,  # SQL-checked
         # --- multimodal plumbing (rows-only; images use the REAL PNG
         # codec on the png_roundtrip path, FAKE1 elsewhere) ---
         "media_features": multimodal.q_media_features,
@@ -337,6 +402,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bundle_roundtrip": multimodal.q_media_bundle_roundtrip,
         "media_png_roundtrip": multimodal.q_media_png_roundtrip,
     }
+
+
+def _langid_sql() -> str:
+    """DuckDB restatement of pipelines/text.py:LangId — per-language
+    profile-trigram occurrence counts (replace-length arithmetic counts
+    non-overlapping matches, exactly like ``str.count``), winner = first
+    language in code order reaching the (positive) maximum."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.text import (
+        _LANG_PROFILES)
+
+    langs = sorted(_LANG_PROFILES)
+    scores = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}"
+            for g in _LANG_PROFILES[lang])
+        scores.append(f"{terms} AS s_{lang}")
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n                ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1])
+    score_list = ",\n                   ".join(scores)
+    return f"""
+        WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   {score_list}
+            FROM lowered),
+        winners AS (SELECT doc_id, {greatest} AS m, * FROM scored)
+        SELECT doc_id,
+               CASE WHEN m <= 0 THEN 'und'
+                {whens}
+                ELSE '{langs[-1]}' END AS pred_lang
+        FROM winners
+    """
 
 
 def _sql_registry() -> dict[str, str]:
@@ -381,8 +480,30 @@ def _sql_registry() -> dict[str, str]:
             GROUP BY tool
         """,
     }
+    # Deterministic dedup/similarity queries: DuckDB reads the INDEPENDENT
+    # single-process implementation's expected tables (oracle_fixture_aux.py)
+    # via the stable symlink the wrapped queries re-point before running.
+    aux = "read_parquet('/tmp/attp_oracle_aux/current/{name}.parquet')"
+    aux_sql = {
+        "doc_fingerprint_rolling":
+            f"SELECT * FROM {aux.format(name='rolling_fp')}",
+        "simhash": f"SELECT * FROM {aux.format(name='simhash')}",
+        "simhash_pairs": f"SELECT * FROM {aux.format(name='simhash_pairs')}",
+        "winnow_fingerprints": f"SELECT * FROM {aux.format(name='winnow')}",
+        "minhash_lsh_pairs":
+            f"SELECT * FROM {aux.format(name='minhash_pairs')}",
+        "embedding_knn_lsh": f"SELECT * FROM {aux.format(name='knn_lsh')}",
+        "embedding_dup_pairs_lsh":
+            f"SELECT * FROM {aux.format(name='dup_pairs_lsh')}",
+        # Language ID is directly SQL-expressible: non-overlapping
+        # occurrence counts via replace-length arithmetic, argmax with
+        # the engine's exact tie order (language codes ascending, 'und'
+        # when every score is zero):
+        "doc_langid": _langid_sql(),
+    }
     return {
         **x_sql,
+        **aux_sql,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -699,12 +820,15 @@ def _sql_registry() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # Defensive: the x_* oracle SQL reads fixture files produced as a side
-    # effect of running the x_* queries; materialize them for the driver's
-    # correctness scale up front in case the driver runs SQL first.
+    # Defensive: the x_*/aux oracle SQL reads fixture files produced as a
+    # side effect of running the wrapped queries; materialize them for the
+    # driver's correctness scale up front in case the driver runs SQL first.
     try:
         if os.path.isdir("/root/testdata/sf0.01"):
             _oracle_fixtures("/root/testdata/sf0.01")
+            for name in ("rolling_fp", "simhash", "simhash_pairs", "winnow",
+                         "minhash_pairs", "knn_lsh", "dup_pairs_lsh"):
+                _aux("/root/testdata/sf0.01", name)
     except Exception:  # noqa: BLE001 - fixture build must never break SQL listing
         pass
     return _sql_registry()

@@ -1,0 +1,374 @@
+"""Driver-visible oracle fixtures for the deterministic doc/embedding
+queries (the dedup + similarity suites).
+
+Same contract as ``oracle_fixture.py`` (which covers the extraction
+tables): the correctness driver cross-checks every query against an
+ANSI-SQL oracle run by DuckDB.  MinHash banding, SimHash, winnowing and
+hyperplane-LSH are deterministic functions of the input tables but not
+SQL-expressible, so this module computes each query's expected output
+with an INDEPENDENT single-process implementation — straight-line
+numpy/pandas over the raw parquet, none of the engine's batch kernels,
+shard/bucket shuffles, first-collision dedup or partial-top-k merges —
+and materializes it as a parquet fixture that ``oracle_sql()`` reads via
+``read_parquet()``.  The driver's hash compare then verifies the
+distributed pipeline end-to-end against the independent implementation.
+
+Shared SPEC constants (hash-permutation parameters, band/table geometry,
+hyperplane seeds) are imported from the pipeline modules — they define
+WHAT function is being computed, exactly like a config.  Everything
+about HOW it is computed here is separate code.
+
+Layout (scratch, regenerated on demand, cached per (corpus, table)):
+
+    /tmp/attp_oracle_aux/<sf-tag>-v<N>/<name>.parquet
+    /tmp/attp_oracle_aux/current -> symlink to the tag dir (atomic swap)
+
+``oracle_sql()`` strings are static, so each wrapped ``queries()``
+callable re-points ``current`` at its scale factor before running.
+Set ``GRAFT_SKIP_AUX_FIXTURES=1`` to skip generation (bench runs, where
+the oracle side is never read and fixture cost would pollute timings).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+AUX_ROOT = "/tmp/attp_oracle_aux"
+AUX_CURRENT = os.path.join(AUX_ROOT, "current")
+AUX_VERSION = 1
+
+# Rabin-Karp spec constants (pipelines/text.py):
+_RH_BASE = 257
+_RH_MOD = 1_000_000_007
+
+
+def _relink(link: str, target: str) -> None:
+    os.makedirs(os.path.dirname(link), exist_ok=True)
+    tmp = f"{link}.tmp.{os.getpid()}"
+    try:
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
+    finally:
+        if os.path.islink(tmp):
+            os.unlink(tmp)
+
+
+def _docs(sf_dir: str) -> tuple[np.ndarray, list[str]]:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return (t.column("doc_id").to_numpy().astype(np.int64),
+            t.column("text").to_pylist())
+
+
+def _tokens(text: str) -> list[str]:
+    return text.strip().split() if text.strip() else []
+# NOTE: the engine tokenizes with re.split(r"\s+"); ``str.split()`` is
+# the independent restatement (identical on every corpus because
+# re-split's empty leading/trailing fields are removed by .strip()).
+
+
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """The 64-bit token-id primitive (pandas siphash) — the shared spec
+    hash function, applied here one doc at a time."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(
+        np.asarray(tokens, dtype=object)).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Expected-table builders (one per query; each a pure function of sf_dir)
+# ---------------------------------------------------------------------------
+
+def _expected_rolling_fp(sf_dir: str) -> pa.Table:
+    """Horner-form Rabin-Karp per doc, pure-Python ints — a genuinely
+    different evaluation order than the engine's vectorized
+    power-table multiply-sum (text.py:rolling_fingerprint); the two are
+    equal by modular arithmetic, which is exactly what the check pins."""
+    ids, texts = _docs(sf_dir)
+    fps = []
+    for t in texts:
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * _RH_BASE + b) % _RH_MOD
+        fps.append(h)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "rolling_fp": pa.array(np.array(fps, dtype=np.uint64))})
+
+
+def _simhash_one(text: str) -> int:
+    """Per-doc SimHash: Counter-based distinct-token counts, per-doc
+    numpy bit accumulation — no batch segmentation machinery."""
+    counts = Counter(_tokens(text))
+    if not counts:
+        return 0
+    toks = list(counts)
+    h = _hash_tokens(toks)
+    c = np.array([counts[t] for t in toks], dtype=np.int64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = ((bits * 2 - 1) * c[:, None]).sum(axis=0)
+    val = 0
+    for i in range(64):
+        if acc[i] > 0:
+            val |= 1 << i
+    return val
+
+
+def _expected_simhash(sf_dir: str) -> pa.Table:
+    ids, texts = _docs(sf_dir)
+    hs = np.array([_simhash_one(t) for t in texts], dtype=np.uint64)
+    # int64 bit-reinterpretation: the driver-visible column is signed so
+    # the pandas/DuckDB hash round trip never sees an out-of-int64 value
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "simhash": pa.array(hs.view(np.int64))})
+
+
+def _expected_simhash_pairs(sf_dir: str, max_hamming: int) -> pa.Table:
+    """ALL-pairs Hamming scan over the independent simhash values — no
+    banding, no pigeonhole blocking, no shards (the engine's 4x16-bit
+    band path must find exactly this set for d <= 3)."""
+    t = _expected_simhash(sf_dir)
+    ids = t.column("doc_id").to_numpy()
+    h = t.column("simhash").to_numpy().view(np.uint64)
+    out_a, out_b = [], []
+    chunk = 512
+    for s in range(0, len(h), chunk):
+        x = h[s:s + chunk, None] ^ h[None, :]
+        pop = np.unpackbits(
+            x.view(np.uint8).reshape(len(x), len(h), 8), axis=2).sum(axis=2)
+        ia, ib = np.nonzero(pop <= max_hamming)
+        ga = ia + s
+        keep = ga < ib
+        out_a.append(ids[ga[keep]])
+        out_b.append(ids[ib[keep]])
+    a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    return pa.table({"doc_id_a": pa.array(np.minimum(a, b), pa.int64()),
+                     "doc_id_b": pa.array(np.maximum(a, b), pa.int64())})
+
+
+def _expected_winnow(sf_dir: str, k: int, w: int) -> pa.Table:
+    """Winnowing fingerprints as the SET of sliding-window k-gram-hash
+    minima (the SIGMOD'03 selection rule picks, per window, its minimum's
+    rightmost position — so the selected VALUES are exactly the distinct
+    window minima; this restatement skips the positional dance the engine
+    performs).  Exploded one row per (doc, fingerprint)."""
+    ids, texts = _docs(sf_dir)
+    out_ids, out_fps = [], []
+    pows = (np.uint64(31) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+    for did, t in zip(ids.tolist(), texts):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        n = len(data) - k + 1
+        if n <= 0:
+            continue
+        grams = np.lib.stride_tricks.sliding_window_view(
+            data, k).astype(np.uint64)
+        h = (grams * pows[None, :]).sum(axis=1)
+        if n <= w:
+            fps = np.unique(h.min(keepdims=True))
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            fps = np.unique(wins.min(axis=1))
+        out_ids.extend([did] * len(fps))
+        out_fps.extend(fps.tolist())
+    return pa.table({
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "fingerprint": pa.array(
+            np.array(out_fps, dtype=np.uint64).view(np.int64)),
+    })
+
+
+def _expected_minhash_pairs(sf_dir: str, threshold: float) -> pa.Table:
+    """MinHash-LSH expected pairs, single-process: per-doc signatures via
+    the spec permutation constants, per-doc band keys via a scalar fold
+    loop, candidates from a chunked ALL-pairs band-equality scan (no
+    sharding / first-band bookkeeping), exact Jaccard via a dense
+    incidence matrix over the corpus vocabulary (no bucket-local
+    vocabularies)."""
+    from .pipelines.dedup import _MH_A, _MH_B, _MOD, LSH_BANDS, MINHASH_PERMS
+
+    ids, texts = _docs(sf_dir)
+    n = len(ids)
+    sets = [np.unique(_hash_tokens(_tokens(t))) for t in texts]
+
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = np.empty((n, LSH_BANDS), dtype=np.uint32)
+    for i, s in enumerate(sets):
+        if len(s) == 0:
+            sig = np.full(MINHASH_PERMS, _MOD, dtype=np.uint64)
+        else:
+            sig = ((s[:, None] * _MH_A[None, :] + _MH_B[None, :])
+                   % _MOD).min(axis=0)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the spec
+            for b in range(LSH_BANDS):
+                acc = np.uint64(0)
+                for j in range(rows_per_band):
+                    acc = (acc ^ sig[b * rows_per_band + j]) * np.uint64(
+                        0x9E3779B97F4A7C15)
+                    acc ^= acc >> np.uint64(29)
+                bands[i, b] = np.uint32(acc & np.uint64(0xFFFFFFFF))
+
+    # candidate pairs: any band agrees (chunked all-pairs scan)
+    cand_a, cand_b = [], []
+    chunk = 512
+    for s in range(0, n, chunk):
+        eq = (bands[s:s + chunk, None, :] == bands[None, :, :]).any(axis=2)
+        ia, ib = np.nonzero(eq)
+        ga = ia + s
+        keep = ga < ib
+        cand_a.append(ga[keep])
+        cand_b.append(ib[keep])
+    ca = np.concatenate(cand_a) if cand_a else np.zeros(0, np.int64)
+    cb = np.concatenate(cand_b) if cand_b else np.zeros(0, np.int64)
+
+    # exact Jaccard on candidates via one corpus-wide incidence matrix
+    vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
+                                     [np.zeros(0, np.uint64)]))
+    inc = np.zeros((n, max(len(vocab), 1)), dtype=np.float32)
+    for i, s in enumerate(sets):
+        if len(s):
+            inc[i, np.searchsorted(vocab, s)] = 1.0
+    sizes = inc.sum(axis=1).astype(np.float64)
+    inter = np.einsum("ij,ij->i", inc[ca], inc[cb]).astype(np.float64)
+    union = sizes[ca] + sizes[cb] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(union > 0, inter / union, 0.0)
+    keep = jac >= threshold
+    a_ids, b_ids = ids[ca[keep]], ids[cb[keep]]
+    return pa.table({
+        "doc_id_a": pa.array(np.minimum(a_ids, b_ids), pa.int64()),
+        "doc_id_b": pa.array(np.maximum(a_ids, b_ids), pa.int64()),
+        "jaccard": pa.array(jac[keep], pa.float64()),
+    })
+
+
+def _embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, m / norms
+
+
+def _codes(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    pow2 = 1 << np.arange(planes.shape[2], dtype=np.uint32)
+    return np.stack([((x @ planes[t]) > 0).astype(np.uint32) @ pow2
+                     for t in range(planes.shape[0])], axis=1)
+
+
+def _expected_knn_lsh(sf_dir: str) -> pa.Table:
+    """Single-process multiprobe LSH top-k: whole-corpus candidate mask
+    per query, one global sort — no per-batch partial top-k or merge."""
+    from .pipelines.similarity import (KNN_K, N_HYPERPLANES, N_LSH_TABLES,
+                                       N_QUERIES, _hyperplanes)
+
+    ids, x = _embeddings(sf_dir)
+    qsel = ids < N_QUERIES
+    qids, qn = ids[qsel], x[qsel]
+    order = np.argsort(qids)
+    qids, qn = qids[order], qn[order]
+    planes = _hyperplanes(x.shape[1], N_HYPERPLANES, N_LSH_TABLES)
+    codes = _codes(x, planes)
+    qcodes = _codes(qn, planes)
+    flips = np.concatenate(
+        [[0], 1 << np.arange(N_HYPERPLANES, dtype=np.uint32)]
+    ).astype(np.uint32)
+    out_q, out_r, out_n = [], [], []
+    for qi, qid in enumerate(qids.tolist()):
+        probes = qcodes[qi][:, None] ^ flips[None, :]  # (L, 1+bits)
+        mask = np.zeros(len(ids), dtype=bool)
+        for t in range(codes.shape[1]):
+            mask |= np.isin(codes[:, t], probes[t])
+        cand = np.flatnonzero(mask & (ids != qid))
+        if len(cand) == 0:
+            continue
+        sims = x[cand] @ qn[qi]
+        top = cand[np.lexsort((ids[cand], -sims))[:KNN_K]]
+        out_q.extend([qid] * len(top))
+        out_r.extend(range(1, len(top) + 1))
+        out_n.extend(ids[top].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
+def _expected_dup_pairs_lsh(sf_dir: str) -> pa.Table:
+    """Single-process LSH near-dup pairs: chunked all-pairs any-table
+    collision scan + exact cosine — no bucket groupby, no first-table
+    dedup bookkeeping."""
+    from .pipelines.similarity import DUP_COSINE, _hyperplanes
+
+    ids, x = _embeddings(sf_dir)
+    planes = _hyperplanes(x.shape[1], 6, 12)  # spec geometry
+    codes = _codes(x, planes)
+    out_a, out_b = [], []
+    chunk = 512
+    n = len(ids)
+    for s in range(0, n, chunk):
+        eq = (codes[s:s + chunk, None, :] == codes[None, :, :]).any(axis=2)
+        ia, ib = np.nonzero(eq)
+        ga = ia + s
+        keep = ga < ib
+        ga, ib = ga[keep], ib[keep]
+        if len(ga) == 0:
+            continue
+        sims = np.einsum("ij,ij->i", x[ga], x[ib])
+        hit = sims >= DUP_COSINE
+        out_a.append(ids[ga[hit]])
+        out_b.append(ids[ib[hit]])
+    a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    return pa.table({
+        "vec_id_a": pa.array(np.minimum(a, b), pa.int64()),
+        "vec_id_b": pa.array(np.maximum(a, b), pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Cache / link plumbing
+# ---------------------------------------------------------------------------
+
+def _builders() -> dict:
+    from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
+                                  WINNOW_K, WINNOW_W)
+
+    return {
+        "rolling_fp": _expected_rolling_fp,
+        "simhash": _expected_simhash,
+        "simhash_pairs":
+            lambda d: _expected_simhash_pairs(d, SIMHASH_MAX_HAMMING),
+        "winnow": lambda d: _expected_winnow(d, WINNOW_K, WINNOW_W),
+        "minhash_pairs":
+            lambda d: _expected_minhash_pairs(d, JACCARD_THRESHOLD),
+        "knn_lsh": _expected_knn_lsh,
+        "dup_pairs_lsh": _expected_dup_pairs_lsh,
+    }
+
+
+def ensure_aux_fixture(sf_dir: str, name: str) -> str | None:
+    """Compute (or reuse) the expected table ``name`` for ``sf_dir``,
+    atomically publish it under the tag dir, and point ``current`` at
+    that dir.  Returns the fixture path (None when skipped via env)."""
+    if os.environ.get("GRAFT_SKIP_AUX_FIXTURES"):
+        return None
+    sf_dir = os.path.abspath(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    fix_dir = os.path.join(AUX_ROOT, f"{tag}-v{AUX_VERSION}")
+    os.makedirs(fix_dir, exist_ok=True)
+    path = os.path.join(fix_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        table = _builders()[name](sf_dir)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    _relink(AUX_CURRENT, fix_dir)
+    return path

@@ -528,18 +528,47 @@ def _simhash_batch(texts: list[str]) -> np.ndarray:
 
 class SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # int64 bit-reinterpretation for the driver-visible column: the
+        # pandas/DuckDB hash round trip never sees an out-of-int64 uint
+        # (the bits are identical; consumers view back to uint64):
         return pa.table({
             "doc_id": batch["doc_id"],
             "simhash": pa.array(
-                _simhash_batch(batch.column("text").to_pylist())),
+                _simhash_batch(batch.column("text").to_pylist())
+                .view(np.int64)),
         })
 
 
 def q_simhash(sf_dir: str) -> rd.Dataset:
-    """Per-document 64-bit SimHash fingerprint (rows-only check)."""
+    """Per-document 64-bit SimHash fingerprint (int64 bit view;
+    SQL-checked against the independent-oracle fixture,
+    ``oracle_fixture_aux.py``)."""
     return (read_table(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(SimHasher, batch_format="pyarrow", batch_size=8192,
                          concurrency=(1, 4)))
+
+
+def q_winnow_fingerprints_exploded(sf_dir: str) -> rd.Dataset:
+    """Driver view of the winnowing fingerprints: one row per
+    (doc_id, fingerprint) — the nested list column does not survive the
+    driver's pandas/DuckDB hash round trip, the exploded form does.
+    Zero-copy Arrow list flatten; fingerprints as int64 bit views."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        fps = batch.column("fingerprints").combine_chunks()
+        counts = pc.list_value_length(fps).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(fps).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), counts)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "fingerprint": pa.array(
+                flat.astype(np.uint64).view(np.int64)),
+        })
+
+    return q_winnow_fingerprints(sf_dir).map_batches(
+        explode, batch_format="pyarrow")
 
 
 def q_simhash_pairs(sf_dir: str,
