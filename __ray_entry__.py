@@ -206,27 +206,74 @@ def _x_turns_staged(sf_dir: str):
                               batch_size=256).select_columns(_TURN_SCALAR_COLS)
 
 
+_WINDOW_SCALAR_COLS = ["conv_id", "turn_idx", "page", "window_idx",
+                       "n_windows", "word_start", "word_end", "n_tokens"]
+
+
+def _window_digest_view(ds, kind: str):
+    """Scalar driver view of a training-window table: keep the window
+    bookkeeping columns and replace the nested words/boxes/labels/mask
+    columns with md5 digests (nested list values do not survive the
+    driver's pandas/DuckDB hash round trip deterministically; the md5
+    convention is shared with ``oracle_independent.oracle_training_views``
+    so the digest compare still checks every nested value)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def _md5_ints(vals) -> str:
+        return hashlib.md5(
+            ",".join(str(int(v)) for v in vals).encode()).hexdigest()
+
+    def digest(batch: pa.Table) -> pa.Table:
+        cols = {name: batch.column(name) for name in _WINDOW_SCALAR_COLS}
+        cols["words_md5"] = pa.array(
+            [hashlib.md5("\x00".join(w).encode("utf-8")).hexdigest()
+             for w in batch.column("words").to_pylist()], pa.string())
+        cols["boxes_md5"] = pa.array(
+            [_md5_ints(v for b in bs for v in b)
+             for bs in batch.column("boxes").to_pylist()], pa.string())
+        if kind == "ner":
+            cols["labels_md5"] = pa.array(
+                [_md5_ints(l)
+                 for l in batch.column("word_labels").to_pylist()],
+                pa.string())
+        else:
+            masks = batch.column("mask_positions").to_pylist()
+            cols["n_masked"] = pa.array([len(m) for m in masks],
+                                        pa.int32())
+            cols["mask_md5"] = pa.array([_md5_ints(m) for m in masks],
+                                        pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(digest, batch_format="pyarrow", batch_size=1024)
+
+
 def _x_training_examples(sf_dir: str):
     """Materialized training-example table (reference ner.py:278-335
     page-example prep chain: words[]/boxes[]/word_labels[] windows with
-    split bookkeeping; rows-only check — kernel invariants asserted in
-    tests/test_training_export.py)."""
+    split bookkeeping), digest driver view — SQL-checked against the
+    independent oracle's expected window table."""
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         read_transcripts)
     from amazon_textract_transformer_pipeline_ray.pipelines.training import (
         build_training_examples)
 
-    return build_training_examples(read_transcripts(_transcripts(sf_dir)))
+    return _window_digest_view(
+        build_training_examples(read_transcripts(_oracle_fixtures(sf_dir))),
+        "ner")
 
 
 def _x_task_mlm(sf_dir: str):
     """MLM-task window table via the task registry (reference
-    data/__init__.py:22-51 dispatch; rows-only)."""
+    data/__init__.py:22-51 dispatch), digest driver view — SQL-checked
+    against the independent oracle's expected window+mask table."""
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         read_transcripts)
     from amazon_textract_transformer_pipeline_ray.pipelines.tasks import get_task
 
-    return get_task("mlm", read_transcripts(_transcripts(sf_dir)))
+    return _window_digest_view(
+        get_task("mlm", read_transcripts(_oracle_fixtures(sf_dir))), "mlm")
 
 
 def _x_task_seq2seq(sf_dir: str):
@@ -241,14 +288,26 @@ def _x_task_seq2seq(sf_dir: str):
 
 def _x_eval_metrics(sf_dir: str):
     """Classifier-vs-gold evaluation (reference ner.py:338-417 metric
-    definitions) as a one-row DataFrame (rows-only check)."""
+    definitions) as a one-row DataFrame — SQL-checked against the
+    independent oracle's sequentially-computed metrics.  Ratio columns
+    follow the repo's f32 driver convention: the engine sums per-example
+    ratios in Ray block order, the oracle in corpus order (~1e-16 apart
+    in f64, identical after the float32 cast)."""
+    import numpy as np
     import pandas as pd
 
     from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
         build_eval_metrics, read_transcripts)
 
-    return pd.DataFrame([build_eval_metrics(
-        read_transcripts(_transcripts(sf_dir)))])
+    m = build_eval_metrics(read_transcripts(_oracle_fixtures(sf_dir)))
+    return pd.DataFrame([{
+        "n_examples": m["n_examples"],
+        "acc": np.float32(m["acc"]),
+        "n_focus_examples": m["n_focus_examples"],
+        "focus_acc": np.float32(m["focus_acc"]),
+        "focus_else_acc_minus_one": np.float32(
+            m["focus_else_acc_minus_one"]),
+    }])
 
 
 def _x_review_queue(sf_dir: str):
@@ -319,6 +378,20 @@ def _w_embedding_dup_pairs_lsh(sf_dir: str):
 
     _aux(sf_dir, "dup_pairs_lsh")
     return similarity.q_embedding_dup_pairs_lsh(sf_dir)
+
+
+def _w_media_features(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
+
+    _aux(sf_dir, "media_features")
+    return multimodal.q_media_features(sf_dir)
+
+
+def _w_media_wav_roundtrip(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
+
+    _aux(sf_dir, "media_wav")
+    return multimodal.q_media_wav_roundtrip(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -395,12 +468,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so a bit-stable expected table is not well-defined; recall and
         # determinism gates live in tests
         "embedding_dup_pairs_lsh": _w_embedding_dup_pairs_lsh,  # SQL-checked
-        # --- multimodal plumbing (rows-only; images use the REAL PNG
-        # codec on the png_roundtrip path, FAKE1 elsewhere) ---
-        "media_features": multimodal.q_media_features,
+        # --- multimodal plumbing (images use the REAL PNG codec on the
+        # png_roundtrip path, audio the REAL WAV codec on the
+        # wav_roundtrip path, FAKE1 elsewhere; features/wav SQL-checked
+        # via independent fixtures, the rest rows-only: frame_pipeline
+        # would need an independent bilinear-resize reimplementation,
+        # bundle/png roundtrips are byte-equality-tested in pytest) ---
+        "media_features": _w_media_features,  # SQL-checked (fixture)
         "media_frame_pipeline": multimodal.q_media_frame_pipeline,
         "media_bundle_roundtrip": multimodal.q_media_bundle_roundtrip,
         "media_png_roundtrip": multimodal.q_media_png_roundtrip,
+        "media_wav_roundtrip": _w_media_wav_roundtrip,  # SQL-checked
+        # (independent stdlib-wave fixture)
     }
 
 
@@ -469,6 +548,11 @@ def _sql_registry() -> dict[str, str]:
         """,
         "x_review_queue":
             f"SELECT * FROM {fix.format(name='review_queue')}",
+        "x_training_examples":
+            f"SELECT * FROM {fix.format(name='training')}",
+        "x_task_mlm": f"SELECT * FROM {fix.format(name='mlm')}",
+        "x_eval_metrics":
+            f"SELECT * FROM {fix.format(name='eval_metrics')}",
         "x_tool_stats": """
             SELECT tool,
                    CAST(COUNT(*) AS BIGINT) AS n_turns,
@@ -495,6 +579,10 @@ def _sql_registry() -> dict[str, str]:
         "embedding_knn_lsh": f"SELECT * FROM {aux.format(name='knn_lsh')}",
         "embedding_dup_pairs_lsh":
             f"SELECT * FROM {aux.format(name='dup_pairs_lsh')}",
+        "media_features":
+            f"SELECT * FROM {aux.format(name='media_features')}",
+        "media_wav_roundtrip":
+            f"SELECT * FROM {aux.format(name='media_wav')}",
         # Language ID is directly SQL-expressible: non-overlapping
         # occurrence counts via replace-length arithmetic, argmax with
         # the engine's exact tie order (language codes ascending, 'und'

@@ -48,7 +48,7 @@ FIXTURE_ROOT = "/tmp/attp_oracle"
 CURRENT_LINK = os.path.join(FIXTURE_ROOT, "current")
 TRANSCRIPTS_CURRENT = "/tmp/attp_transcripts/current"
 # bump whenever fixture CONTENT changes so stale /tmp caches regenerate:
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 TURNS_FIX_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -113,6 +113,35 @@ SEQ2SEQ_FIX_SCHEMA = pa.schema([
     ("n_occurrences", pa.int64()),
 ])
 
+# Training-export window digests (driver views of the nested
+# words/boxes/labels columns — md5 convention shared with the engine-side
+# digest stage in ``__ray_entry__.py``):
+_TRAIN_BASE_FIELDS = [
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("page", pa.int16()),
+    ("window_idx", pa.int32()),
+    ("n_windows", pa.int32()),
+    ("word_start", pa.int32()),
+    ("word_end", pa.int32()),
+    ("n_tokens", pa.int32()),
+    ("words_md5", pa.string()),
+    ("boxes_md5", pa.string()),
+]
+TRAIN_FIX_SCHEMA = pa.schema(
+    _TRAIN_BASE_FIELDS + [("labels_md5", pa.string())])
+MLM_FIX_SCHEMA = pa.schema(
+    _TRAIN_BASE_FIELDS + [("n_masked", pa.int32()),
+                          ("mask_md5", pa.string())])
+
+EVAL_FIX_SCHEMA = pa.schema([
+    ("n_examples", pa.int64()),
+    ("acc", pa.float32()),
+    ("n_focus_examples", pa.int64()),
+    ("focus_acc", pa.float32()),
+    ("focus_else_acc_minus_one", pa.float32()),
+])
+
 
 def _relink(link: str, target: str) -> None:
     """Atomically (re)point a symlink."""
@@ -135,7 +164,8 @@ def _shard_expected(path: str) -> dict:
     oracle (one process; pure function of the shard file)."""
     from .config import DEFAULT_CONFIG as cfg
     from .oracle_independent import (_normalize_date, oracle_consolidate,
-                                     oracle_extract_turn)
+                                     oracle_extract_turn,
+                                     oracle_training_views)
 
     date_ids = {f.class_id for f in cfg.fields
                 if f.normalizer == "date_iso" and not f.ignore}
@@ -153,8 +183,27 @@ def _shard_expected(path: str) -> dict:
     lean = {"conv_id": [], "turn_idx": [], "n_words": [], "boiler": [],
             "n_spans": [], "review": [], "digest": []}
     seq_sources: Counter = Counter()
+    train = {f.name: [] for f in TRAIN_FIX_SCHEMA}
+    mlm = {f.name: [] for f in MLM_FIX_SCHEMA}
+    ev = {"acc_sum": 0.0, "focus_sum": 0.0, "n_ex": 0, "n_focus": 0}
 
     for cid, tix, role, payload in zip(conv_ids, turn_idxs, roles, texts):
+        ner_rows, mlm_rows, ev_part = oracle_training_views(
+            payload, cfg, cid, tix)
+        for row in ner_rows:
+            for k in train:
+                train[k].append(row[k])
+        for row in mlm_rows:
+            for k in mlm:
+                mlm[k].append(row[k])
+        if ev_part is not None:
+            acc, focus = ev_part
+            ev["acc_sum"] += acc
+            ev["n_ex"] += 1
+            if focus is not None:
+                ev["focus_sum"] += focus
+                ev["n_focus"] += 1
+
         exp = oracle_extract_turn(payload, cfg)
         if exp is None:
             continue
@@ -220,8 +269,8 @@ def _shard_expected(path: str) -> dict:
     # keep staged target alias for the normalizer parity fixture:
     seq_pairs = {src: _normalize_date(src) for src in seq_sources}
     return {"turns": turns, "staged": staged, "spans": spans,
-            "fields": fields, "lean": lean,
-            "seq": dict(seq_sources), "seq_targets": seq_pairs}
+            "fields": fields, "lean": lean, "train": train, "mlm": mlm,
+            "eval": ev, "seq": dict(seq_sources), "seq_targets": seq_pairs}
 
 
 def _table(cols: dict, schema: pa.Schema) -> pa.Table:
@@ -304,6 +353,26 @@ def ensure_fixtures(corpus_paths: list[str]) -> str:
     spans = _table(merged("spans"), SPANS_FIX_SCHEMA)
     fields = _table(merged("fields"), FIELDS_FIX_SCHEMA)
     convs = _conversations_table(merged("lean"))
+    train = _table(merged("train"), TRAIN_FIX_SCHEMA)
+    mlm = _table(merged("mlm"), MLM_FIX_SCHEMA)
+
+    # Eval metrics: shard partials summed in shard order; the ~1e-16
+    # summation-order difference vs the engine's Ray block order is
+    # absorbed by the float32 driver convention (module docstring):
+    acc_sum = sum(s["eval"]["acc_sum"] for s in shards)
+    focus_sum = sum(s["eval"]["focus_sum"] for s in shards)
+    n_ex = sum(s["eval"]["n_ex"] for s in shards)
+    n_focus = sum(s["eval"]["n_focus"] for s in shards)
+    acc = acc_sum / n_ex if n_ex else 0.0
+    focus_acc = focus_sum / n_focus if n_focus else 0.0
+    eval_tbl = _table({
+        "n_examples": [n_ex],
+        "acc": [acc],
+        "n_focus_examples": [n_focus],
+        "focus_acc": [focus_acc],
+        "focus_else_acc_minus_one": [focus_acc if focus_acc > 0
+                                     else acc - 1],
+    }, EVAL_FIX_SCHEMA)
 
     seq_counts: Counter = Counter()
     seq_targets: dict[str, str] = {}
@@ -333,7 +402,8 @@ def ensure_fixtures(corpus_paths: list[str]) -> str:
     for name, table in (("turns", turns), ("turns_staged", turns_staged),
                         ("spans", spans), ("fields", fields),
                         ("conversations", convs), ("seq2seq", seq),
-                        ("review_queue", review)):
+                        ("review_queue", review), ("training", train),
+                        ("mlm", mlm), ("eval_metrics", eval_tbl)):
         pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(corpus_dir + "\n")

@@ -337,6 +337,95 @@ def _expected_dup_pairs_lsh(sf_dir: str) -> pa.Table:
 # Cache / link plumbing
 # ---------------------------------------------------------------------------
 
+def _media_feature_rows(payloads, media_ids, decode_vals) -> pa.Table:
+    """(media_id, payload) -> the MediaFeatures output row, with the
+    value-array derivation supplied by the caller (FAKE1 or WAV parse);
+    mean/std are the same float64 numpy reductions the engine runs, so
+    identical value arrays imply bit-identical statistics."""
+    import zlib
+
+    out = {"media_id": [], "kind": [], "n_bytes": [],
+           "mean_value": [], "std_value": [], "content_crc": []}
+    for mid, payload in zip(media_ids, payloads):
+        kind, vals = decode_vals(payload)
+        out["media_id"].append(int(mid))
+        out["kind"].append(kind)
+        out["n_bytes"].append(len(payload))
+        out["mean_value"].append(float(vals.mean()) if vals.size else 0.0)
+        out["std_value"].append(float(vals.std()) if vals.size else 0.0)
+        out["content_crc"].append(zlib.crc32(payload))
+    return pa.table({
+        "media_id": pa.array(out["media_id"], pa.int64()),
+        "kind": pa.array(out["kind"], pa.string()),
+        "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+        "mean_value": pa.array(out["mean_value"], pa.float64()),
+        "std_value": pa.array(out["std_value"], pa.float64()),
+        "content_crc": pa.array(out["content_crc"], pa.uint32()),
+    })
+
+
+def _media_n(sf_dir: str) -> int:
+    """Mirrors the q_media_* fixture sizing (multimodal.py)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(60, int(6000 * sf))
+
+
+def _expected_media_features(sf_dir: str) -> pa.Table:
+    """Independent FAKE1 header parse + float64 feature reductions over
+    the shared deterministic media fixture (input shared, computation
+    independent — the decode arithmetic below is the frozen container
+    spec, multimodal.py module doc)."""
+    import struct
+
+    from .pipelines.multimodal import gen_media_table
+
+    table = gen_media_table(_media_n(sf_dir))
+
+    def decode_vals(payload: bytes):
+        kind = {"i": "image", "a": "audio", "v": "video"}[chr(payload[5])]
+        struct.unpack("<iiiii", payload[6:26])  # header sanity
+        body = np.frombuffer(payload[26:], dtype=np.uint8)
+        if kind == "audio":
+            return kind, (body.astype(np.float32) / 255.0
+                          ).astype(np.float64)
+        return kind, body.astype(np.float64)
+
+    return _media_feature_rows(table.column("payload").to_pylist(),
+                               table.column("media_id").to_pylist(),
+                               decode_vals)
+
+
+def _expected_media_wav(sf_dir: str) -> pa.Table:
+    """Independent WAV parse via the STDLIB ``wave`` module (not
+    functions/wav.py) + the same float64 feature reductions, over the
+    audio rows of the real-codec media fixture."""
+    import io
+    import wave
+
+    from .pipelines.multimodal import gen_media_table
+
+    table = gen_media_table(_media_n(sf_dir), audio_codec="wav")
+    keep = [i for i, k in enumerate(table.column("kind").to_pylist())
+            if k == "audio"]
+    table = table.take(keep)
+
+    def decode_vals(payload: bytes):
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getsampwidth() == 2
+            frames = w.readframes(w.getnframes())
+        pcm = np.frombuffer(frames, dtype="<i2")
+        return "audio", (pcm.astype(np.float32) / 32768.0
+                         ).astype(np.float64)
+
+    return _media_feature_rows(table.column("payload").to_pylist(),
+                               table.column("media_id").to_pylist(),
+                               decode_vals)
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -351,6 +440,8 @@ def _builders() -> dict:
             lambda d: _expected_minhash_pairs(d, JACCARD_THRESHOLD),
         "knn_lsh": _expected_knn_lsh,
         "dup_pairs_lsh": _expected_dup_pairs_lsh,
+        "media_features": _expected_media_features,
+        "media_wav": _expected_media_wav,
     }
 
 

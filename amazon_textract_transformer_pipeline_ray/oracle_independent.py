@@ -273,15 +273,9 @@ def _parse(payload: str) -> _Turn:
 # Classifier (tokenize -> split -> per-token probs -> per-word multiset mean)
 # ---------------------------------------------------------------------------
 
-def _classify(t: _Turn, n_classes: int, max_seq_len: int):
-    n = len(t.words)
-    n_tok = [1 + max(len(w) - 1, 0) // 4 for w in t.words]
-    word_start = [0] * n
-    for i in range(1, n):
-        word_start[i] = word_start[i - 1] + n_tok[i - 1]
-    total = word_start[-1] + n_tok[-1] if n else 0
-
-    # splitter (reference NaiveExampleSplitter semantics):
+def _split_windows(word_start: list, total: int, max_seq_len: int):
+    """Splitter (reference NaiveExampleSplitter semantics, loop-style)."""
+    n = len(word_start)
     windows = []
     isw = 0
     while isw < n:
@@ -308,6 +302,18 @@ def _classify(t: _Turn, n_classes: int, max_seq_len: int):
                 st = pst
         windows.append((isw, iew))
         isw = iew
+    return windows
+
+
+def _classify(t: _Turn, n_classes: int, max_seq_len: int):
+    n = len(t.words)
+    n_tok = [1 + max(len(w) - 1, 0) // 4 for w in t.words]
+    word_start = [0] * n
+    for i in range(1, n):
+        word_start[i] = word_start[i - 1] + n_tok[i - 1]
+    total = word_start[-1] + n_tok[-1] if n else 0
+
+    windows = _split_windows(word_start, total, max_seq_len)
 
     # per-word accumulation of token prob vectors over every window
     # occurrence (reference inference.py:449-492 defaultdict pattern):
@@ -498,3 +504,129 @@ def oracle_consolidate(detections: list[dict], cfg: EngineConfig):
             doc_confs.append(row["confidence"])
     doc_conf = min(doc_confs) if doc_confs else 0.0
     return field_rows, doc_conf
+
+
+# ---------------------------------------------------------------------------
+# Training-export windows (reference ner.py:278-335 chain, loop-style) —
+# independent expected values for the x_training_examples / x_task_mlm /
+# x_eval_metrics driver views (digest convention shared with
+# ``__ray_entry__.py``: md5 over canonical joined strings).
+# ---------------------------------------------------------------------------
+
+_IMG_W, _IMG_H = 1600, 2000  # pipelines/training.py synthetic labeling size
+_MLM_MASK_PCT = 15           # pipelines/tasks.py deterministic mask rate
+
+
+def _words_md5(words: list) -> str:
+    import hashlib
+
+    return hashlib.md5("\x00".join(words).encode("utf-8")).hexdigest()
+
+
+def _ints_md5(vals) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        ",".join(str(int(v)) for v in vals).encode()).hexdigest()
+
+
+def oracle_training_views(payload: str, cfg: EngineConfig,
+                          conv_id: str, turn_idx: int):
+    """One turn -> (ner_rows, mlm_rows, eval_partial).
+
+    ner/mlm rows carry the scalar window bookkeeping plus digests of the
+    nested words/boxes/labels/mask columns; eval_partial is
+    (acc_ratio, focus_ratio_or_None) for the per-turn classifier-vs-hint
+    example (reference ner.py:338-417 masked metric definitions).
+    """
+    t = _parse(payload)
+    n = len(t.words)
+    if n == 0:
+        return [], [], None
+    n_classes = cfg.n_classes
+    other = n_classes - 1
+
+    # --- eval partial (labels = raw parser hints, preds = classifier) ---
+    pred_class, _ = _classify(t, n_classes, cfg.max_seq_len)
+    n_correct = sum(1 for h, p in zip(t.hint, pred_class) if h == p)
+    acc = n_correct / n
+    focus_ix = [i for i in range(n)
+                if t.hint[i] != other or pred_class[i] != other]
+    focus = (sum(1 for i in focus_ix if t.hint[i] == pred_class[i])
+             / len(focus_ix)) if focus_ix else None
+
+    # --- per-page windows ---
+    n_tok = [1 + max(len(w) - 1, 0) // 4 for w in t.words]
+    qbox = [[int(v * 1000) for v in b] for b in t.box]
+    ner_rows: list[dict] = []
+    mlm_rows: list[dict] = []
+    for page in sorted(set(t.page)):
+        ix = [i for i in range(n) if t.page[i] == page]
+
+        # Synthetic SMGT record: one absolute-pixel rect per contiguous
+        # same-(hint, line) run with hint != other (training.py:
+        # synth_annotation_record), parsed back through the /w *1000
+        # truncation of smgt.parse_annotation_record:
+        anns = []  # (class_id, x0, y0, x1, y1) in 0-1000 ints
+        s = 0
+        while s < len(ix):
+            e = s
+            while (e + 1 < len(ix)
+                   and t.hint[ix[e + 1]] == t.hint[ix[s]]
+                   and t.line[ix[e + 1]] == t.line[ix[s]]):
+                e += 1
+            h = t.hint[ix[s]]
+            if h != other:
+                run = [t.box[i] for i in ix[s:e + 1]]
+                left = min(b[0] for b in run) * _IMG_W
+                top = min(b[1] for b in run) * _IMG_H
+                width = max(b[2] for b in run) * _IMG_W - left
+                height = max(b[3] for b in run) * _IMG_H - top
+                anns.append((
+                    h,
+                    int(left / _IMG_W * 1000),
+                    int(top / _IMG_H * 1000),
+                    int((left + width) / _IMG_W * 1000),
+                    int((top + height) / _IMG_H * 1000),
+                ))
+            s = e + 1
+
+        # >=50%-area-overlap labels (geometry.word_label_matrix rule):
+        labels = []
+        for i in ix:
+            wx0, wy0, wx1, wy1 = qbox[i]
+            area = (wx1 - wx0) * (wy1 - wy0)
+            best = other
+            for (c, ax0, ay0, ax1, ay1) in anns:
+                isect = (max(0, min(wx1, ax1) - max(wx0, ax0))
+                         * max(0, min(wy1, ay1) - max(wy0, ay0)))
+                if isect >= area / 2 and c < best:
+                    best = c
+            labels.append(best)
+
+        counts = [n_tok[i] for i in ix]
+        word_start = [0] * len(ix)
+        for k in range(1, len(ix)):
+            word_start[k] = word_start[k - 1] + counts[k - 1]
+        total = word_start[-1] + counts[-1]
+        windows = _split_windows(word_start, total, cfg.max_seq_len)
+        for wix, (ws, we) in enumerate(windows):
+            words = [t.words[i] for i in ix[ws:we]]
+            flat_boxes = [v for i in ix[ws:we] for v in qbox[i]]
+            base = {
+                "conv_id": conv_id, "turn_idx": turn_idx,
+                "page": page + 1, "window_idx": wix,
+                "n_windows": len(windows),
+                "word_start": ws, "word_end": we,
+                "n_tokens": sum(counts[ws:we]),
+                "words_md5": _words_md5(words),
+                "boxes_md5": _ints_md5(flat_boxes),
+            }
+            ner_rows.append(dict(base, labels_md5=_ints_md5(labels[ws:we])))
+            seed = f"{conv_id}:{turn_idx}:{page + 1}:{wix}:"
+            mask = [w for w in range(len(words))
+                    if zlib.crc32(f"{seed}{w}".encode()) % 100
+                    < _MLM_MASK_PCT]
+            mlm_rows.append(dict(base, n_masked=len(mask),
+                                 mask_md5=_ints_md5(mask)))
+    return ner_rows, mlm_rows, (acc, focus)

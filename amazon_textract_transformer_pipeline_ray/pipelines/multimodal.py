@@ -64,10 +64,13 @@ def encode_fake(kind: str, rng: np.random.Generator) -> tuple[bytes, dict]:
 
 
 def gen_media_table(n: int, seed: int = 20260817,
-                    image_codec: str = "fake") -> pa.Table:
+                    image_codec: str = "fake",
+                    audio_codec: str = "fake") -> pa.Table:
     """Deterministic media fixture table.  ``image_codec="png"`` encodes
     the image rows as REAL PNG files (same pixel content, real
-    container) via functions/png.py."""
+    container) via functions/png.py; ``audio_codec="wav"`` encodes the
+    audio rows as REAL RIFF/PCM16 files (same sample content) via
+    functions/wav.py."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -79,6 +82,12 @@ def gen_media_table(n: int, seed: int = 20260817,
 
             _, arr = decode_fake(payload)
             payload = encode_png(arr, filter_type=4)
+        elif kind == "audio" and audio_codec == "wav":
+            from ..functions.wav import encode_wav
+
+            body = np.frombuffer(payload[26:], dtype=np.uint8)
+            pcm = ((body.astype(np.int32) - 128) * 256).astype(np.int16)
+            payload = encode_wav(pcm, meta["sample_rate"])
         rows.append({"media_id": i, "kind": kind, "payload": payload, **meta})
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
@@ -98,21 +107,27 @@ def decode_fake(payload: bytes) -> tuple[str, np.ndarray]:
 
 
 def decode_auto(payload: bytes) -> tuple[str, np.ndarray]:
-    """Container-sniffing decode: real PNG (functions/png.py) or the
-    deterministic FAKE1 container — PNG and FAKE1 rows mix freely."""
+    """Container-sniffing decode: real PNG (functions/png.py), real WAV
+    (functions/wav.py) or the deterministic FAKE1 container — all three
+    mix freely in one column."""
     from ..functions.png import PNG_SIGNATURE, decode_png
+    from ..functions.wav import WAV_SIGNATURE, decode_wav, wav_to_float
 
     if payload.startswith(PNG_SIGNATURE):
         return "image", decode_png(payload)
+    if payload.startswith(WAV_SIGNATURE):
+        return "audio", wav_to_float(decode_wav(payload)[0])
     return decode_fake(payload)
 
 
 def decode_real(payload: bytes) -> tuple[str, np.ndarray]:
     """Real-codec-only path: PNG images decode for real (PIL when
-    importable, else the in-repo pure numpy+zlib codec); audio/video
+    importable, else the in-repo pure numpy+zlib codec), WAV audio
+    decodes for real (functions/wav.py, pure stdlib+numpy); video
     codecs are not installed in this container — that residual stub
     raises behind the import-try."""
     from ..functions.png import PNG_SIGNATURE, decode_png
+    from ..functions.wav import WAV_SIGNATURE, decode_wav, wav_to_float
 
     if payload.startswith(PNG_SIGNATURE):
         try:  # pragma: no cover - PIL absent in this container
@@ -123,13 +138,16 @@ def decode_real(payload: bytes) -> tuple[str, np.ndarray]:
             return "image", np.asarray(PIL.Image.open(io.BytesIO(payload)))
         except ImportError:
             return "image", decode_png(payload)
-    try:  # pragma: no cover - container lacks av codecs
+    if payload.startswith(WAV_SIGNATURE):
+        return "audio", wav_to_float(decode_wav(payload)[0])
+    try:  # pragma: no cover - container lacks video codecs
         import av  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "Audio/video codecs are not installed in this environment; "
-            "still images use the real PNG codec, audio/video runs on the "
-            "deterministic FAKE1 container instead.") from e
+            "Video codecs are not installed in this environment; still "
+            "images use the real PNG codec, audio the real WAV codec, "
+            "video runs on the deterministic FAKE1 container instead."
+        ) from e
     raise NotImplementedError("wire av decode here")  # pragma: no cover
 
 
@@ -358,6 +376,31 @@ def q_media_png_roundtrip(sf_dir: str) -> pd.DataFrame:
     resized = ds.map_batches(ImageResize, batch_format="pyarrow",
                              batch_size=32, concurrency=(1, 2))
     feats = resized.map_batches(
+        MediaFeatures, fn_constructor_kwargs={"use_real_codec": True},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
+    return feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_wav_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """REAL-codec audio pipeline: RIFF/PCM16 payloads (pure stdlib+numpy
+    codec, functions/wav.py) -> feature stage under
+    ``use_real_codec=True`` — no fake containers on this path.
+    Rows-only at the driver; sample equality of the codec roundtrip is
+    asserted in tests."""
+    import os
+
+    sf = 0.01
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        pass
+    n = max(60, int(6000 * sf))
+    # every 3rd row of the fixture is audio; keep only those:
+    table = gen_media_table(n, audio_codec="wav")
+    table = table.filter(pa.compute.equal(table.column("kind"), "audio"))
+    ds = rd.from_arrow(table)
+    feats = ds.map_batches(
         MediaFeatures, fn_constructor_kwargs={"use_real_codec": True},
         batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
     return feats.to_pandas().sort_values("media_id").reset_index(drop=True)

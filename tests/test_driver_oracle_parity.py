@@ -81,3 +81,58 @@ def test_ensure_fixtures_caches_and_links(tmp_path):
 
     assert review.num_rows == pc.sum(
         turns.column("review_needed")).as_py()
+
+
+def test_ensure_fixtures_includes_training_tables(tmp_path):
+    paths = _corpus(tmp_path)
+    fix = ofx.ensure_fixtures(paths)
+    for name in ("training", "mlm", "eval_metrics"):
+        assert os.path.exists(os.path.join(fix, f"{name}.parquet")), name
+    train = pq.read_table(os.path.join(fix, "training.parquet"))
+    mlm = pq.read_table(os.path.join(fix, "mlm.parquet"))
+    # same windows, different nested-column digests:
+    assert train.num_rows == mlm.num_rows
+    assert train.column("words_md5").equals(mlm.column("words_md5"))
+    ev = pq.read_table(os.path.join(fix, "eval_metrics.parquet"))
+    assert ev.num_rows == 1
+    assert ev.column("n_examples")[0].as_py() > 0
+
+
+def test_training_view_oracle_matches_engine_kernel(tmp_path):
+    """oracle_training_views (loop-style) == engine _example_rows +
+    deterministic mask spec, digest for digest, over a real corpus."""
+    import hashlib
+
+    from amazon_textract_transformer_pipeline_ray.oracle_independent import (
+        oracle_training_views,
+    )
+    from amazon_textract_transformer_pipeline_ray.pipelines.training import (
+        _example_rows,
+    )
+
+    paths = _corpus(tmp_path)
+    checked = 0
+    for p in paths[:2]:
+        t = pq.read_table(p, columns=["conv_id", "turn_idx", "text"])
+        for cid, tix, payload in zip(
+                t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist(),
+                t.column("text").to_pylist()):
+            eng = _example_rows(payload, DEFAULT_CONFIG,
+                                DEFAULT_CONFIG.max_seq_len,
+                                with_labels=True)
+            ner, _mlm, _ev = oracle_training_views(
+                payload, DEFAULT_CONFIG, cid, tix)
+            assert len(eng) == len(ner)
+            for er, orow in zip(eng, ner):
+                for k in ("page", "window_idx", "n_windows",
+                          "word_start", "word_end", "n_tokens"):
+                    assert er[k] == orow[k], (cid, tix, k)
+                assert orow["words_md5"] == hashlib.md5(
+                    "\x00".join(er["words"]).encode()).hexdigest()
+                assert orow["labels_md5"] == hashlib.md5(
+                    ",".join(str(int(v))
+                             for v in er["word_labels"]).encode()
+                ).hexdigest()
+                checked += 1
+    assert checked > 100

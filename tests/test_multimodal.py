@@ -154,14 +154,15 @@ def test_decode_auto_mixes_png_and_fake():
     a = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
     kind, arr_png = decode_auto(encode_png(a))
     assert kind == "image" and np.array_equal(arr_png, a)
-    # decode_real: PNG is a real codec path (no PIL in this container);
-    # audio/video raises the documented residual stub error
+    # decode_real: PNG and WAV are real codec paths (no PIL in this
+    # container); FAKE1 audio/video raises the documented residual
+    # video-stub error
     kind, arr_real = decode_real(encode_png(a))
     assert np.array_equal(arr_real, a)
     audio_payload, _ = encode_fake("audio", np.random.default_rng(4))
     import pytest as pt
 
-    with pt.raises(NotImplementedError, match="Audio/video"):
+    with pt.raises(NotImplementedError, match="Video codecs"):
         decode_real(audio_payload)
 
 
@@ -174,3 +175,101 @@ def test_png_resize_pipeline(ray_session):
     assert len(out) == 20  # 60 rows / 3 kinds -> 20 images
     assert (out["kind"] == "image").all()
     assert (out["n_bytes"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (functions/wav.py)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_shapes_and_rates():
+    from amazon_textract_transformer_pipeline_ray.functions.wav import (
+        decode_wav, encode_wav)
+
+    rng = np.random.default_rng(7)
+    for n_ch in (1, 2, 6):
+        for rate in (8000, 16000, 44100):
+            pcm = rng.integers(-32768, 32768, (777, n_ch),
+                               dtype=np.int16)
+            if n_ch == 1:
+                pcm = pcm[:, 0]
+            out, got_rate = decode_wav(encode_wav(pcm, rate))
+            assert got_rate == rate
+            assert np.array_equal(out, pcm), (n_ch, rate)
+
+
+def test_wav_float_quantization_and_chunk_walk():
+    import struct
+
+    from amazon_textract_transformer_pipeline_ray.functions.wav import (
+        decode_wav, encode_wav, wav_to_float)
+
+    # float encode quantizes with np.round to int16:
+    f = np.array([0.0, 0.5, -1.0, 1.0], dtype=np.float32)
+    pcm, rate = decode_wav(encode_wav(f, 8000))
+    assert pcm.tolist() == [0, 16384, -32767, 32767]
+    assert wav_to_float(pcm).dtype == np.float32
+    # chunk walker: a LIST chunk between fmt and data still decodes:
+    raw = encode_wav(np.arange(5, dtype=np.int16), 16000)
+    fmt_chunk = raw[12:36]       # 8 + 16 bytes
+    data_chunk = raw[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    doctored = raw[:12] + fmt_chunk + extra + data_chunk
+    out, got_rate = decode_wav(doctored)
+    assert got_rate == 16000 and out.tolist() == [0, 1, 2, 3, 4]
+
+
+def test_wav_decode_rejects_non_wav():
+    import pytest as pt
+
+    from amazon_textract_transformer_pipeline_ray.functions.wav import (
+        decode_wav)
+
+    with pt.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI LIST")
+    with pt.raises(ValueError):
+        decode_wav(b"FAKE1a" + bytes(26))
+
+
+def test_decode_paths_handle_wav():
+    from amazon_textract_transformer_pipeline_ray.functions.wav import (
+        encode_wav)
+    from amazon_textract_transformer_pipeline_ray.pipelines.multimodal import (
+        decode_auto, decode_real)
+
+    pcm = np.arange(-100, 100, dtype=np.int16)
+    payload = encode_wav(pcm, 16000)
+    for dec in (decode_auto, decode_real):
+        kind, arr = dec(payload)
+        assert kind == "audio"
+        assert arr.dtype == np.float32
+        assert np.array_equal(arr, pcm.astype(np.float32) / 32768.0)
+
+
+def test_media_table_wav_codec_and_query(ray_session):
+    from amazon_textract_transformer_pipeline_ray.functions.wav import (
+        WAV_SIGNATURE, decode_wav)
+    from amazon_textract_transformer_pipeline_ray.pipelines.multimodal import (
+        decode_fake, gen_media_table, q_media_wav_roundtrip)
+
+    fake = gen_media_table(12)
+    wav = gen_media_table(12, audio_codec="wav")
+    for i in range(12):
+        kind = fake.column("kind")[i].as_py()
+        p_fake = fake.column("payload")[i].as_py()
+        p_wav = wav.column("payload")[i].as_py()
+        if kind != "audio":
+            assert p_fake == p_wav
+            continue
+        assert p_wav.startswith(WAV_SIGNATURE)
+        # same underlying sample content as the FAKE1 row:
+        _, fake_arr = decode_fake(p_fake)
+        body = np.round(fake_arr.astype(np.float64) * 255.0).astype(np.uint8)
+        pcm, rate = decode_wav(p_wav)
+        assert rate == fake.column("sample_rate")[i].as_py()
+        assert np.array_equal(
+            pcm, ((body.astype(np.int32) - 128) * 256).astype(np.int16))
+
+    df = q_media_wav_roundtrip("/root/testdata/sf0.001")
+    assert len(df) == 20  # every 3rd of max(60, ...) rows is audio
+    assert set(df["kind"]) == {"audio"}
+    assert (df["n_bytes"] > 44).all()
