@@ -373,6 +373,13 @@ def _w_embedding_knn_lsh(sf_dir: str):
     return similarity.q_embedding_knn_lsh(sf_dir)
 
 
+def _w_embedding_knn_ivf(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    _aux(sf_dir, "knn_ivf")
+    return similarity.q_embedding_knn_ivf(sf_dir)
+
+
 def _w_embedding_dup_pairs_lsh(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import similarity
 
@@ -392,6 +399,27 @@ def _w_media_wav_roundtrip(sf_dir: str):
 
     _aux(sf_dir, "media_wav")
     return multimodal.q_media_wav_roundtrip(sf_dir)
+
+
+def _w_media_frame_pipeline(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
+
+    _aux(sf_dir, "media_frames")
+    return multimodal.q_media_frame_pipeline(sf_dir)
+
+
+def _w_media_bundle_roundtrip(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
+
+    _aux(sf_dir, "media_bundle")
+    return multimodal.q_media_bundle_roundtrip(sf_dir)
+
+
+def _w_media_png_roundtrip(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
+
+    _aux(sf_dir, "media_png")
+    return multimodal.q_media_png_roundtrip(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -463,21 +491,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
         "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
         "embedding_knn_lsh": _w_embedding_knn_lsh,  # SQL-checked (fixture)
-        "embedding_knn_ivf": similarity.q_embedding_knn_ivf,  # rows-only:
-        # Lloyd partial sums make centroids batch-order-sensitive in f64,
-        # so a bit-stable expected table is not well-defined; recall and
-        # determinism gates live in tests
+        "embedding_knn_ivf": _w_embedding_knn_ivf,  # SQL-checked: the
+        # coarse centroids are a bit-deterministic sample fit (shared as
+        # spec, faiss-style); the fixture recomputes the whole probe
+        # search single-process
         "embedding_dup_pairs_lsh": _w_embedding_dup_pairs_lsh,  # SQL-checked
         # --- multimodal plumbing (images use the REAL PNG codec on the
         # png_roundtrip path, audio the REAL WAV codec on the
-        # wav_roundtrip path, FAKE1 elsewhere; features/wav SQL-checked
-        # via independent fixtures, the rest rows-only: frame_pipeline
-        # would need an independent bilinear-resize reimplementation,
-        # bundle/png roundtrips are byte-equality-tested in pytest) ---
+        # wav_roundtrip path, FAKE1 elsewhere; ALL SQL-checked via
+        # independent fixtures: stdlib-wave WAV parse, per-pixel
+        # loop-style bilinear resample, per-pixel RFC 2083 PNG
+        # filter/unfilter — plus byte-equality pytest gates) ---
         "media_features": _w_media_features,  # SQL-checked (fixture)
-        "media_frame_pipeline": multimodal.q_media_frame_pipeline,
-        "media_bundle_roundtrip": multimodal.q_media_bundle_roundtrip,
-        "media_png_roundtrip": multimodal.q_media_png_roundtrip,
+        "media_frame_pipeline": _w_media_frame_pipeline,  # SQL-checked
+        "media_bundle_roundtrip": _w_media_bundle_roundtrip,  # SQL-checked
+        "media_png_roundtrip": _w_media_png_roundtrip,  # SQL-checked
         "media_wav_roundtrip": _w_media_wav_roundtrip,  # SQL-checked
         # (independent stdlib-wave fixture)
     }
@@ -577,12 +605,19 @@ def _sql_registry() -> dict[str, str]:
         "minhash_lsh_pairs":
             f"SELECT * FROM {aux.format(name='minhash_pairs')}",
         "embedding_knn_lsh": f"SELECT * FROM {aux.format(name='knn_lsh')}",
+        "embedding_knn_ivf": f"SELECT * FROM {aux.format(name='knn_ivf')}",
         "embedding_dup_pairs_lsh":
             f"SELECT * FROM {aux.format(name='dup_pairs_lsh')}",
         "media_features":
             f"SELECT * FROM {aux.format(name='media_features')}",
         "media_wav_roundtrip":
             f"SELECT * FROM {aux.format(name='media_wav')}",
+        "media_frame_pipeline":
+            f"SELECT * FROM {aux.format(name='media_frames')}",
+        "media_bundle_roundtrip":
+            f"SELECT * FROM {aux.format(name='media_bundle')}",
+        "media_png_roundtrip":
+            f"SELECT * FROM {aux.format(name='media_png')}",
         # Language ID is directly SQL-expressible: non-overlapping
         # occurrence counts via replace-length arithmetic, argmax with
         # the engine's exact tie order (language codes ascending, 'und'

@@ -426,6 +426,288 @@ def _expected_media_wav(sf_dir: str) -> pa.Table:
                                decode_vals)
 
 
+def _expected_knn_ivf(sf_dir: str) -> pa.Table:
+    """Single-process IVF top-k: the coarse centroid MODEL is imported
+    as spec (``ivf_centroids`` is a bit-deterministic sample fit, like
+    the hyperplane seeds); the SEARCH — full-corpus list assignment,
+    probe-list candidate mask, exact cosine, one global sort per query —
+    is recomputed here with none of the engine's per-batch partial
+    top-k/merge machinery."""
+    from .pipelines.similarity import (IVF_NPROBE, KNN_K, N_QUERIES,
+                                       ivf_centroids)
+
+    ids, x = _embeddings(sf_dir)
+    cents = ivf_centroids(sf_dir)
+    qsel = ids < N_QUERIES
+    qids, qn = ids[qsel], x[qsel]
+    order = np.argsort(qids)
+    qids, qn = qids[order], qn[order]
+    assign = (x @ cents.T).argmax(axis=1)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :IVF_NPROBE]
+    out_q, out_r, out_n = [], [], []
+    for qi, qid in enumerate(qids.tolist()):
+        cand = np.flatnonzero(np.isin(assign, probe[qi]) & (ids != qid))
+        if len(cand) == 0:
+            continue
+        sims = x[cand] @ qn[qi]
+        top = cand[np.lexsort((ids[cand], -sims))[:KNN_K]]
+        out_q.extend([qid] * len(top))
+        out_r.extend(range(1, len(top) + 1))
+        out_n.extend(ids[top].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Independent image kernels (loop-style) for the resize / PNG fixtures.
+#
+# The engine's resize (functions/image_ops.py) is a vectorized separable
+# two-pass lerp; the loop below evaluates the SAME IEEE-754 expression
+# tree per output pixel (height lerp, then width lerp, each
+# a*(1-f)+b*f in float64), so the uint8 results are bit-identical.
+# The PNG pair reimplements RFC 2083 filtering per pixel; the zlib
+# stream itself comes from the stdlib in both implementations (the
+# compressed container bytes are DEFINED by zlib, like a config).
+# ---------------------------------------------------------------------------
+
+def _fake1_parse(payload: bytes):
+    """Independent FAKE1 header parse (frozen container spec,
+    multimodal.py module doc) -> (kind, w, h, c, sr, nf, body_u8)."""
+    import struct
+
+    assert payload[:5] == b"FAKE1"
+    kind = {"i": "image", "a": "audio", "v": "video"}[chr(payload[5])]
+    w, h, c, sr, nf = struct.unpack("<iiiii", payload[6:26])
+    return kind, w, h, c, sr, nf, np.frombuffer(payload[26:], np.uint8)
+
+
+def _fake1_image(w: int, h: int, c: int, pixels: np.ndarray) -> bytes:
+    import struct
+
+    return (b"FAKE1i" + struct.pack("<iiiii", w, h, c, 0, 1)
+            + pixels.tobytes())
+
+
+def _axis_coords(out_len: int, in_len: int, i: int):
+    """Center-aligned sample position for output index ``i`` (same
+    clamp/floor arithmetic as the engine's vectorized version)."""
+    src = (i + 0.5) * (in_len / out_len) - 0.5
+    src = min(max(src, 0.0), float(in_len - 1))
+    lo = int(np.floor(src))
+    return lo, min(lo + 1, in_len - 1), src - lo
+
+
+def _bilinear_loop(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Per-pixel bilinear resample: (h, w, c) uint8 -> (out_h, out_w, c)
+    uint8.  Height lerp first, then width, like the engine's separable
+    passes — identical float64 op order, hence identical bits."""
+    in_h, in_w, c = img.shape
+    if (out_w, out_h) == (in_w, in_h):
+        return img.copy()
+    out = np.empty((out_h, out_w, c), dtype=np.uint8)
+    f = img.astype(np.float64)
+    for y in range(out_h):
+        ly, hy, fy = ((y, y, 0.0) if in_h == out_h
+                      else _axis_coords(out_h, in_h, y))
+        for x in range(out_w):
+            lx, hx, fx = ((x, x, 0.0) if in_w == out_w
+                          else _axis_coords(out_w, in_w, x))
+            for ch in range(c):
+                top = f[ly, lx, ch] * (1.0 - fy) + f[hy, lx, ch] * fy
+                bot = f[ly, hx, ch] * (1.0 - fy) + f[hy, hx, ch] * fy
+                v = top * (1.0 - fx) + bot * fx
+                out[y, x, ch] = np.uint8(min(max(np.round(v), 0.0), 255.0))
+    return out
+
+
+def _png_decode_loop(data: bytes) -> np.ndarray:
+    """Independent RFC 2083 decode: stdlib zlib inflate + per-pixel
+    unfiltering (all five filter types), 8-bit non-interlaced."""
+    import struct
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, hdr = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+    w, h, depth, color_type, _, _, interlace = hdr
+    assert depth == 8 and interlace == 0
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    recon = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype, cur = row[0], row[1:]
+        for x in range(stride):
+            left = recon[y, x - c] if x >= c else 0
+            up = recon[y - 1, x] if y >= 1 else 0
+            ul = recon[y - 1, x - c] if (x >= c and y >= 1) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (left if (pa_ <= pb_ and pa_ <= pc_)
+                        else (up if pb_ <= pc_ else ul))
+            recon[y, x] = (cur[x] + pred) % 256
+    return recon.astype(np.uint8).reshape(h, w, c)
+
+
+def _png_encode_loop(arr: np.ndarray, filter_type: int = 4,
+                     compress_level: int = 6) -> bytes:
+    """Independent RFC 2083 encode: per-pixel filtering, stdlib zlib
+    deflate, hand-assembled chunks (byte-identical by spec to any
+    conforming single-IDAT encoder at the same filter/level)."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[c]
+    flat = arr.reshape(h, w * c).astype(np.int64)
+    stride = w * c
+    lines = bytearray()
+    for y in range(h):
+        lines.append(filter_type)
+        for x in range(stride):
+            raw = flat[y, x]
+            left = flat[y, x - c] if x >= c else 0
+            up = flat[y - 1, x] if y >= 1 else 0
+            ul = flat[y - 1, x - c] if (x >= c and y >= 1) else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = left
+            elif filter_type == 2:
+                pred = up
+            elif filter_type == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (left if (pa_ <= pb_ and pa_ <= pc_)
+                        else (up if pb_ <= pc_ else ul))
+            lines.append((raw - pred) % 256)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines), compress_level))
+            + chunk(b"IEND", b""))
+
+
+def _video_frames(table: pa.Table, every: int = 4):
+    """Yield (frame_media_id, w, h, c, frame_u8) for every sampled frame
+    of the fixture's video rows (engine VideoFrameSample contract:
+    every ``every``-th frame, id = src*1000 + frame index)."""
+    for mid, payload in zip(table.column("media_id").to_pylist(),
+                            table.column("payload").to_pylist()):
+        kind, w, h, c, _sr, nf, body = _fake1_parse(payload)
+        if kind != "video":
+            continue
+        frames = body.reshape(nf, h, w, c)
+        for fi in range(0, nf, every):
+            yield int(mid) * 1000 + fi, w, h, c, frames[fi]
+
+
+def _expected_media_bundle(sf_dir: str) -> pa.Table:
+    """Expected features after the video -> frame-sample -> npz-bundle
+    write/read roundtrip (q_media_bundle_roundtrip, fixed n=30).  The
+    npz container is content-lossless, so the expected row derives
+    directly from the independently parsed+sampled frames; any
+    corruption in the bundle sink/source would surface as a crc/stat
+    mismatch at the driver."""
+    from .pipelines.multimodal import gen_media_table
+
+    payloads, mids = [], []
+    for fid, w, h, c, frame in _video_frames(gen_media_table(30)):
+        mids.append(fid)
+        payloads.append(_fake1_image(w, h, c, frame))
+
+    def decode_vals(payload: bytes):
+        kind, w, h, c, _sr, _nf, body = _fake1_parse(payload)
+        return kind, body.astype(np.float64)
+
+    return _sorted_by_id(
+        _media_feature_rows(payloads, mids, decode_vals))
+
+
+def _expected_media_frames(sf_dir: str) -> pa.Table:
+    """Expected features for the video -> frame-sample -> resize(32x32)
+    -> features chain (q_media_frame_pipeline): independent per-pixel
+    bilinear resample of each sampled frame."""
+    from .pipelines.multimodal import gen_media_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    table = gen_media_table(max(30, int(1500 * sf)))
+    payloads, mids = [], []
+    for fid, _w, _h, c, frame in _video_frames(table):
+        out = _bilinear_loop(frame, 32, 32)
+        mids.append(fid)
+        payloads.append(_fake1_image(32, 32, c, out))
+
+    def decode_vals(payload: bytes):
+        kind, w, h, c, _sr, _nf, body = _fake1_parse(payload)
+        return kind, body.astype(np.float64)
+
+    return _sorted_by_id(
+        _media_feature_rows(payloads, mids, decode_vals))
+
+
+def _expected_media_png(sf_dir: str) -> pa.Table:
+    """Expected features for the REAL-codec image chain
+    (q_media_png_roundtrip): independent PNG decode -> per-pixel
+    bilinear resize to 32x32 -> independent PNG re-encode (Paeth,
+    level 6) -> stats over the resized pixels, crc over the re-encoded
+    bytes."""
+    from .pipelines.multimodal import gen_media_table
+
+    table = gen_media_table(_media_n(sf_dir), image_codec="png")
+    keep = [i for i, k in enumerate(table.column("kind").to_pylist())
+            if k == "image"]
+    table = table.take(keep)
+    payloads, mids, pixel_arrays = [], [], []
+    for mid, payload in zip(table.column("media_id").to_pylist(),
+                            table.column("payload").to_pylist()):
+        arr = _bilinear_loop(_png_decode_loop(payload), 32, 32)
+        mids.append(int(mid))
+        payloads.append(_png_encode_loop(arr, filter_type=4))
+        pixel_arrays.append(arr)
+
+    it = iter(pixel_arrays)
+
+    def decode_vals(_payload: bytes):
+        return "image", next(it).astype(np.float64)
+
+    return _sorted_by_id(
+        _media_feature_rows(payloads, mids, decode_vals))
+
+
+def _sorted_by_id(table: pa.Table) -> pa.Table:
+    return table.sort_by("media_id")
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -439,9 +721,13 @@ def _builders() -> dict:
         "minhash_pairs":
             lambda d: _expected_minhash_pairs(d, JACCARD_THRESHOLD),
         "knn_lsh": _expected_knn_lsh,
+        "knn_ivf": _expected_knn_ivf,
         "dup_pairs_lsh": _expected_dup_pairs_lsh,
         "media_features": _expected_media_features,
         "media_wav": _expected_media_wav,
+        "media_bundle": _expected_media_bundle,
+        "media_frames": _expected_media_frames,
+        "media_png": _expected_media_png,
     }
 
 

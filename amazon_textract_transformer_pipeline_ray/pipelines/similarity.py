@@ -301,27 +301,48 @@ def q_embedding_dup_pairs_lsh(sf_dir: str,
 N_IVF_LISTS = 16
 IVF_NPROBE = 4
 IVF_ITERS = 5
+IVF_TRAIN_SAMPLE = 2048
 
 
-def q_embedding_knn_ivf(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
-    """Approximate top-k via IVF (inverted-file) coarse quantization — the
-    scale path past brute force: k-means centroids trained distributed
-    (per-batch partial sums -> driver Lloyd update), vectors assigned to
-    their nearest list in one ``map_batches`` pass, queries probe only the
-    IVF_NPROBE nearest lists.  Deterministic (seeded init, fixed
-    iteration count); rows-only check — recall vs exact kNN is asserted
-    in tests."""
-    qids, qm = _query_matrix(sf_dir)
-    qn = _normalize(qm)
-    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+def ivf_centroids(sf_dir: str, n_lists: int = N_IVF_LISTS,
+                  iters: int = IVF_ITERS,
+                  sample_n: int = IVF_TRAIN_SAMPLE) -> np.ndarray:
+    """Deterministic IVF coarse centroids, faiss-style: Lloyd k-means
+    over a bounded hash-spread SAMPLE (first parquet row group only, no
+    full-table read), entirely on the driver.  Training cost is
+    independent of table size — at 100 TB you still train on a few
+    thousand vectors — and the fixed iteration order makes the model
+    bit-deterministic, so the centroids act as a shared SPEC (like the
+    LSH hyperplane seeds) that the independent oracle can import.
 
-    # --- train coarse centroids (Lloyd, partial-sum pattern) -------------
-    # Seeded deterministic init: hash-spread sample of N_IVF_LISTS vectors
-    # from the FIRST row group only — no full-table driver read.
-    _, seed_emb = _sample_matrix(sf_dir, N_IVF_LISTS)
-    cents = _normalize(seed_emb)
+    ``train_ivf_lloyd_distributed`` below is the cluster-scale
+    refinement alternative (per-batch partial sums over the FULL table);
+    its float results depend on partial arrival order, so the query path
+    defaults to this sample-trained model."""
+    _, emb = _sample_matrix(sf_dir, sample_n)
+    x = _normalize(emb)
+    cents = x[:n_lists].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=n_lists)
+        for lid in range(n_lists):
+            if counts[lid]:
+                cents[lid] = sums[lid] / np.linalg.norm(
+                    sums[lid]).clip(1e-12)
+    return cents
 
-    for _ in range(IVF_ITERS):
+
+def train_ivf_lloyd_distributed(ds: rd.Dataset, init: np.ndarray,
+                                iters: int = IVF_ITERS) -> np.ndarray:
+    """Distributed Lloyd refinement: per-batch partial sums over the FULL
+    dataset -> tiny driver update per iteration.  The scale path when the
+    coarse model should see every vector; float64 partial-sum arrival
+    order makes the result run-deterministic only per execution, so use
+    ``ivf_centroids`` when bit-stable output matters (oracle paths)."""
+    cents = init.copy()
+    for _ in range(iters):
         ref = broadcast(cents)
 
         class PartialSums:
@@ -352,6 +373,21 @@ def q_embedding_knn_ivf(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
                 s = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
                 new[int(lid)] = s / np.linalg.norm(s).clip(1e-12)
         cents = new
+    return cents
+
+
+def q_embedding_knn_ivf(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    scale path past brute force: sample-trained coarse centroids
+    (``ivf_centroids``), vectors assigned to their nearest list in one
+    ``map_batches`` pass, queries probe only the IVF_NPROBE nearest
+    lists, per-batch partial top-k merged in a tiny groupby.
+    SQL-checked: the independent oracle fixture imports the centroid
+    model as spec and recomputes the whole search single-process."""
+    qids, qm = _query_matrix(sf_dir)
+    qn = _normalize(qm)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ivf_centroids(sf_dir)
 
     # --- probe: queries search only their IVF_NPROBE nearest lists -------
     probe_lists = np.argsort(-(qn @ cents.T), axis=1)[:, :IVF_NPROBE]

@@ -71,3 +71,35 @@ def test_ensure_caches_and_links(tmp_path, monkeypatch):
         os.path.dirname(p))
     monkeypatch.setenv("GRAFT_SKIP_AUX_FIXTURES", "1")
     assert aux.ensure_aux_fixture(SF, "rolling_fp") is None
+
+
+# ---------------------------------------------------------------------------
+# Independent image kernels (loop-style resize + RFC 2083 PNG pair)
+# ---------------------------------------------------------------------------
+
+def test_loop_bilinear_matches_engine_bitwise():
+    from amazon_textract_transformer_pipeline_ray.functions.image_ops import (
+        resize_bilinear)
+
+    rng = np.random.default_rng(11)
+    for (ih, iw), (oh, ow) in [((17, 23), (32, 32)), ((64, 16), (8, 40)),
+                               ((32, 20), (32, 32)),   # height passthrough
+                               ((5, 5), (7, 3))]:
+        img = rng.integers(0, 256, (ih, iw, 3), dtype=np.uint8)
+        assert np.array_equal(aux._bilinear_loop(img, ow, oh),
+                              resize_bilinear(img, ow, oh)), (ih, iw, oh, ow)
+
+
+def test_loop_png_pair_matches_engine_bytes_and_pixels():
+    from amazon_textract_transformer_pipeline_ray.functions.png import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(12)
+    for c in (1, 3, 4):
+        arr = rng.integers(0, 256, (13, 9, c), dtype=np.uint8)
+        for ftype in range(5):
+            eng = encode_png(arr, filter_type=ftype)
+            ind = aux._png_encode_loop(arr, filter_type=ftype)
+            assert eng == ind, (c, ftype)          # byte-identical streams
+            assert np.array_equal(aux._png_decode_loop(eng), arr), (c, ftype)
+            assert np.array_equal(decode_png(ind), arr), (c, ftype)

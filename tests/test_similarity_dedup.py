@@ -134,3 +134,23 @@ def test_batch_token_kernels_equal_scalar_spec():
             assert got == dict(exp), i
         assert np.array_equal(sigs[i], minhash_signature(_token_hashes(t))), i
         assert int(sims[i]) == simhash64(t), i
+
+
+def test_distributed_lloyd_refines_sample_model(ray_session):
+    """The cluster-scale trainer (full-table partial sums) stays
+    exercised: refining the sample-trained model must keep every
+    centroid unit-norm and not collapse lists."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+    from amazon_textract_transformer_pipeline_ray.sources.tables import (
+        read_table)
+
+    init = similarity.ivf_centroids(SF)
+    ds = read_table(SF, "embeddings", ["vec_id", "embedding"])
+    ref = similarity.train_ivf_lloyd_distributed(ds, init, iters=2)
+    assert ref.shape == init.shape
+    norms = np.linalg.norm(ref, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-9)
+    # distinct lists survive refinement:
+    assert len(np.unique(ref.round(6), axis=0)) == len(ref)
