@@ -401,6 +401,12 @@ def _w_media_wav_roundtrip(sf_dir: str):
     return multimodal.q_media_wav_roundtrip(sf_dir)
 
 
+def _w_api_paged_blocks(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import api_ingest
+
+    return api_ingest.q_api_paged_blocks(sf_dir)
+
+
 def _w_media_frame_pipeline(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
 
@@ -508,7 +514,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_roundtrip": _w_media_png_roundtrip,  # SQL-checked
         "media_wav_roundtrip": _w_media_wav_roundtrip,  # SQL-checked
         # (independent stdlib-wave fixture)
+        # --- external-API source (S5): paginated NextToken-linked chunk
+        # files -> custom Datasource merge -> parser; oracle reads the
+        # RAW unmerged chunks with DuckDB read_json ---
+        "api_paged_blocks": _w_api_paged_blocks,  # SQL-checked
     }
+
+
+def _paged_sql() -> str:
+    from amazon_textract_transformer_pipeline_ray.pipelines.api_ingest import (
+        api_paged_blocks_sql)
+
+    return api_paged_blocks_sql()
 
 
 def _langid_sql() -> str:
@@ -618,6 +635,7 @@ def _sql_registry() -> dict[str, str]:
             f"SELECT * FROM {aux.format(name='media_bundle')}",
         "media_png_roundtrip":
             f"SELECT * FROM {aux.format(name='media_png')}",
+        "api_paged_blocks": _paged_sql(),
         # Language ID is directly SQL-expressible: non-overlapping
         # occurrence counts via replace-length arithmetic, argmax with
         # the engine's exact tie order (language codes ascending, 'und'

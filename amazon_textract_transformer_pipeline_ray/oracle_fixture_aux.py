@@ -1,5 +1,5 @@
-"""Driver-visible oracle fixtures for the deterministic doc/embedding
-queries (the dedup + similarity suites).
+"""Driver-visible oracle fixtures for the deterministic doc/embedding/
+media queries (the dedup, similarity and multimodal suites).
 
 Same contract as ``oracle_fixture.py`` (which covers the extraction
 tables): the correctness driver cross-checks every query against an

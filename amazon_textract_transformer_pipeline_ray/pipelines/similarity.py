@@ -8,7 +8,13 @@
   batch-vs-broadcast-matrix blockwise.
 * ``q_embedding_knn_lsh`` — random-hyperplane LSH bucketing: probes only
   same-bucket candidates (multi-probe over 1-bit flips), trading recall
-  for a contact set ~B times smaller (rows-only check).
+  for a contact set ~B times smaller.
+* ``q_embedding_knn_ivf`` — IVF coarse quantization with sample-trained
+  centroids (``ivf_centroids``) and an optional full-table distributed
+  Lloyd refinement (``train_ivf_lloyd_distributed``).
+
+All four are SQL-checked by the driver (directly or via the independent
+single-process fixtures in ``oracle_fixture_aux.py``).
 
 Scale conventions: the ONLY driver-side materializations are (a) the
 query matrix (``vec_id < N_QUERIES`` — a filter-pushdown read of the

@@ -215,6 +215,7 @@ def run_scaling() -> dict:
               os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")]
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
     lo_cpus, hi_cpus = levels
+    loadavg_pre_corpus = os.getloadavg()  # before our own corpus-gen load
     _scaling_corpus()  # generate once before timing anything
 
     def run(ncpu: int) -> float:
@@ -228,6 +229,7 @@ def run_scaling() -> dict:
                 return float(line.split()[1])
         raise RuntimeError(f"no SCALING_WALL in child output: {out[-2000:]}")
 
+    loadavg_start = loadavg_pre_corpus
     walls: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
     krates: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
     # Each Ray measurement is immediately followed by its kernel control
@@ -265,6 +267,12 @@ def run_scaling() -> dict:
         "turns_per_sec_lo": round(n / med_lo, 1),
         "turns_per_sec_hi": round(n / med_hi, 1),
         "n_turns": n,
+        # Window-validity evidence (the protocol requires an otherwise
+        # idle box): 1/5/15-min load averages at start and end of the
+        # measurement.  A run whose start load exceeds ~1 outside this
+        # benchmark's own children is outside protocol.
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "protocol": (
             "interleaved fresh-process runs (lo, hi alternating), each "
             "followed immediately by a no-Ray kernel process-scaling "
