@@ -2,9 +2,11 @@
 
 ``entry()`` runs the flagship per-turn extraction pipeline;
 ``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2 +
-the training-data ops suite); ``oracle_sql()`` gives the DuckDB-checkable
-subset.  The driver owns the Ray session — nothing here calls
-``ray.init``/``ray.shutdown``.
+the training-data ops suite); ``oracle_sql()`` covers EVERY query — plain
+SQL over the raw tables where expressible, otherwise
+``read_parquet``/``read_json`` over fixtures computed by independent
+single-process reimplementations.  The driver owns the Ray session —
+nothing here calls ``ray.init``/``ray.shutdown``.
 
 Float convention: the Ray side and the SQL oracle compute every float
 result through identical exact-integer intermediates (BIGINT cents for

@@ -505,23 +505,29 @@ def simhash64(text: str) -> int:
 
 
 def _simhash_batch(texts: list[str]) -> np.ndarray:
-    """(n_docs,) uint64 SimHashes — one batched token hash, one weighted
-    bit accumulation over all docs' distinct-token runs (reduceat per
-    doc), no per-doc Python loop.  Token-hash collisions merge count
-    weight identically in both the scalar and batch forms, so the two are
-    exactly equal."""
+    """(n_docs,) uint64 SimHashes — one batched token hash, then one
+    weighted bit accumulation PER BIT over all docs' distinct-token runs
+    (reduceat per doc), no per-doc Python loop.  Token-hash collisions
+    merge count weight identically in both the scalar and batch forms,
+    so the two are exactly equal.
+
+    The per-bit loop is deliberate (same shape as ``_minhash_batch``'s
+    per-perm loop): expanding all 64 bit columns at once materializes an
+    (n_tokens, 64) int64 matrix — ~1 GB per 8k-doc batch — and the
+    allocation traffic costs far more than 64 slim vector passes."""
     hs, cnts, offs = _batch_token_runs(texts)
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if len(hs) == 0:
         return out
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-    w = (bits * 2 - 1) * cnts[:, None]
     nonempty = np.flatnonzero(np.diff(offs) > 0)
-    acc = np.add.reduceat(w, offs[:-1][nonempty], axis=0)
-    vals = ((acc > 0).astype(np.uint64)
-            << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    starts = offs[:-1][nonempty]
+    vals = np.zeros(len(nonempty), dtype=np.uint64)
+    for i in range(64):
+        bit = ((hs >> np.uint64(i)) & np.uint64(1)).astype(bool)
+        w = np.where(bit, cnts, -cnts)
+        acc = np.add.reduceat(w, starts)
+        vals |= (acc > 0).astype(np.uint64) << np.uint64(i)
     out[nonempty] = vals
     return out
 

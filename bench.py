@@ -218,15 +218,26 @@ def run_scaling() -> dict:
     loadavg_pre_corpus = os.getloadavg()  # before our own corpus-gen load
     _scaling_corpus()  # generate once before timing anything
 
-    def run(ncpu: int) -> float:
+    def _cpu_times() -> tuple[int, int]:
+        """(cumulative steal jiffies, cumulative total jiffies) — /proc/stat
+        field 8 is time stolen by the hypervisor for other guests."""
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+    def run(ncpu: int) -> tuple[float, float]:
+        s0, t0 = _cpu_times()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        s1, t1 = _cpu_times()
+        steal = (s1 - s0) / max(t1 - t0, 1)
         for line in out.splitlines():
             if line.startswith("SCALING_WALL"):
-                return float(line.split()[1])
+                return float(line.split()[1]), steal
         raise RuntimeError(f"no SCALING_WALL in child output: {out[-2000:]}")
 
     loadavg_start = loadavg_pre_corpus
@@ -235,11 +246,13 @@ def run_scaling() -> dict:
     # Each Ray measurement is immediately followed by its kernel control
     # at the same parallelism, so control and measurement share a noise
     # window as closely as a sequential protocol allows:
+    steals: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
     for _ in range(n_pairs):
-        walls[lo_cpus].append(run(lo_cpus))
-        krates[lo_cpus].append(_kernel_rate(lo_cpus))
-        walls[hi_cpus].append(run(hi_cpus))
-        krates[hi_cpus].append(_kernel_rate(hi_cpus))
+        for ncpu in (lo_cpus, hi_cpus):
+            w, st = run(ncpu)
+            walls[ncpu].append(w)
+            steals[ncpu].append(st)
+            krates[ncpu].append(_kernel_rate(ncpu))
 
     med_lo = statistics.median(walls[lo_cpus])
     med_hi = statistics.median(walls[hi_cpus])
@@ -273,6 +286,11 @@ def run_scaling() -> dict:
         # benchmark's own children is outside protocol.
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # Hypervisor steal fraction during each child run (whole-box
+        # /proc/stat delta): external-guest interference a dedicated
+        # cluster node does not have.  >2-3%% marks a polluted window.
+        "steal_pct_lo": [round(100 * x, 1) for x in steals[lo_cpus]],
+        "steal_pct_hi": [round(100 * x, 1) for x in steals[hi_cpus]],
         "protocol": (
             "interleaved fresh-process runs (lo, hi alternating), each "
             "followed immediately by a no-Ray kernel process-scaling "
