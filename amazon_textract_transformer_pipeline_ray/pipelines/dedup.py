@@ -369,7 +369,13 @@ def q_minhash_lsh_pairs(sf_dir: str,
             if len(s):
                 inc[i, np.searchsorted(vocab, s)] = 1.0
         sizes = inc.sum(axis=1).astype(np.float64)
-        inter = (inc[ia] * inc[ib]).sum(axis=1).astype(np.float64)
+        if len(ia) > len(sets):
+            # Dense-candidate bucket (typical in near-dup-heavy data):
+            # one BLAS gram matrix beats materializing per-pair row
+            # products — b^2 f32 (<= a few MB) vs |pairs| x |vocab|.
+            inter = (inc @ inc.T)[ia, ib].astype(np.float64)
+        else:
+            inter = (inc[ia] * inc[ib]).sum(axis=1).astype(np.float64)
         union = sizes[ia] + sizes[ib] - inter
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = np.where(union > 0, inter / union, 0.0)
