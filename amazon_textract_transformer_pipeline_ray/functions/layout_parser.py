@@ -27,6 +27,25 @@ import json
 
 import numpy as np
 
+try:  # optional fast path; stdlib fallback keeps the container-only promise
+    # (the independent oracle deliberately stays on stdlib json, so the two
+    # implementations do not share a decoder)
+    from orjson import loads as _fast_loads
+except ImportError:  # pragma: no cover - exercised where orjson is absent
+    _fast_loads = json.loads
+
+
+def _json_loads(payload: str):
+    """orjson when available, with a stdlib retry on reject: orjson is
+    stricter than stdlib (NaN/Infinity literals, ints beyond 64 bits,
+    lone surrogates), and a payload stdlib would parse must produce the
+    SAME blocks whether or not the fast decoder is installed — decoder
+    choice must never reroute a row to the plain-text fallback."""
+    try:
+        return _fast_loads(payload)
+    except ValueError:
+        return json.loads(payload)
+
 from .blocks import (
     CLS_CONTENT,
     CLS_DATE,
@@ -50,7 +69,7 @@ def merge_response_chunks(chunks: list[dict]) -> dict:
 
 
 def parse_layout_json(payload: str) -> TurnBlocks:
-    doc = json.loads(payload)
+    doc = _json_loads(payload)
     if isinstance(doc, list):
         doc = merge_response_chunks(doc)
     blocks = doc.get("Blocks", [])

@@ -125,15 +125,33 @@ def extract_turn(payload: str, cfg: EngineConfig) -> ExtractedTurn | None:
 def extract_turns_batch(
     payloads: list[str], cfg: EngineConfig
 ) -> list[ExtractedTurn | None]:
-    """Batched ``extract_turn``: classification runs in ONE vectorized
-    pass over all turns (``classifier.classify_turns``, bit-identical to
-    the per-turn call — the oracle gate compares the two paths), parsing
-    and assembly stay per turn (inherently per-document string work)."""
+    """Batched ``extract_turn``: classification AND span assembly each run
+    in ONE vectorized pass over all turns (``classifier.classify_turns``,
+    ``assembler.assemble_turns`` — both bit-identical to the per-turn
+    calls; the oracle gate compares the two paths), parsing and field
+    consolidation stay per turn (inherently per-document work)."""
+    from .assembler import assemble_turns
     from .classifier import classify_turns
 
     tbs = [parse_payload(p) for p in payloads]
     preds = classify_turns(tbs, cfg.n_classes, cfg.max_seq_len)
-    return [
-        None if tb.n_words == 0 else _finish_turn(tb, pc, pf, cfg)
-        for tb, (pc, pf) in zip(tbs, preds)
-    ]
+    assembled = assemble_turns(tbs, preds, cfg.entity_classes)
+    out: list[ExtractedTurn | None] = []
+    for tb, (pc, pf), asm in zip(tbs, preds, assembled):
+        if tb.n_words == 0:
+            out.append(None)
+            continue
+        normalize_detections(asm.detections, cfg)
+        fields = consolidate_turn(asm.detections, cfg)
+        out.append(ExtractedTurn(
+            extracted_text=asm.extracted_text,
+            boilerplate_ratio=asm.boilerplate_ratio,
+            n_words=asm.n_words,
+            n_content_words=asm.n_content_words,
+            detections=asm.detections,
+            fields=fields,
+            pred_class=pc,
+            pred_conf=pf,
+            blocks=tb,
+        ))
+    return out

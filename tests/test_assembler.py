@@ -150,3 +150,73 @@ def test_empty_lines_skipped_in_extracted_text():
     assert out.extracted_text == "a\nb t"
     assert [(d.class_id, d.text) for d in out.detections] == [
         (0, "a"), (0, "b")]
+
+
+def test_batched_assemble_equals_per_turn_on_fixture_corpus():
+    """``assemble_turns`` (one vectorized pass over the concatenated word
+    axis) must equal per-turn ``assemble_turn`` on every field, over a
+    real mixed-dialect fixture corpus including empty and no-content
+    turns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from amazon_textract_transformer_pipeline_ray.config import DEFAULT_CONFIG as cfg
+    from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
+    from amazon_textract_transformer_pipeline_ray.functions.assembler import (
+        assemble_turns)
+    from amazon_textract_transformer_pipeline_ray.functions.classifier import (
+        classify_turns)
+    from amazon_textract_transformer_pipeline_ray.functions.turn import parse_payload
+
+    paths = write_transcripts("/tmp/attp_transcripts/test-asm-2k", 2000,
+                              n_shards=2)
+    texts = []
+    for p in sorted(paths):
+        texts.extend(pq.read_table(p, columns=["text"]).column(
+            "text").to_pylist())
+    tbs = [parse_payload(t) for t in texts]
+    # synthetic edge turns: empty, single word (trailing run dropped),
+    # all-boilerplate (no content):
+    preds = classify_turns(tbs, cfg.n_classes, cfg.max_seq_len)
+    batched = assemble_turns(tbs, preds, cfg.entity_classes)
+    assert len(batched) == len(tbs)
+    for tb, (pc, pf), got in zip(tbs, preds, batched):
+        exp = assemble_turn(tb, pc, pf, cfg.entity_classes)
+        assert got.extracted_text == exp.extracted_text
+        assert got.n_words == exp.n_words
+        assert got.n_content_words == exp.n_content_words
+        assert len(got.detections) == len(exp.detections)
+        for dg, de in zip(got.detections, exp.detections):
+            assert (dg.class_id, dg.class_name, dg.page_num, dg.text,
+                    dg.start, dg.end) == (
+                de.class_id, de.class_name, de.page_num, de.text,
+                de.start, de.end)
+            assert dg.confidence == de.confidence
+            assert dg.box.tolist() == de.box.tolist()
+
+
+def test_batched_assemble_edge_turns():
+    """Empty turns, single-word turns (trailing run never flushed) and
+    no-content turns mixed in one batch."""
+    from amazon_textract_transformer_pipeline_ray.functions.assembler import (
+        assemble_turns)
+
+    tb_empty = make_tb([], [], [])
+    tb_single = make_tb(["word"], [0], [0])
+    tb_nocontent = make_tb(["x", "y"], [0, 0], [0, 0])
+    tb_normal = make_tb(["a", "b", "c"], [0, 0, 1], [0, 0, 0])
+    tbs = [tb_empty, tb_single, tb_nocontent, tb_normal]
+    preds = [
+        (np.zeros(0, dtype=np.int16), np.zeros(0)),
+        (np.array([0], dtype=np.int16), np.array([0.9])),
+        (np.array([6, 6], dtype=np.int16), np.array([0.9, 0.9])),  # inactive
+        (np.array([0, 0, 1], dtype=np.int16), np.array([0.5, 0.6, 0.7])),
+    ]
+    got = assemble_turns(tbs, preds, ENTITY_CLASSES)
+    for tb, (pc, pf), g in zip(tbs, preds, got):
+        e = assemble_turn(tb, pc, pf, ENTITY_CLASSES)
+        assert (g.extracted_text, g.n_words, g.n_content_words,
+                len(g.detections)) == (
+            e.extracted_text, e.n_words, e.n_content_words,
+            len(e.detections))

@@ -130,3 +130,22 @@ def test_detect_dialect():
     assert detect_dialect(" [{}]") == "layout"
     assert detect_dialect("<p>x</p>") == "html"
     assert detect_dialect("plain words only") == "plain"
+
+
+def test_layout_decoder_strictness_parity():
+    """Payloads stdlib json parses must parse as LAYOUT regardless of
+    whether the optional fast decoder (orjson) is installed: orjson
+    rejects NaN/Infinity literals and >64-bit ints that stdlib accepts,
+    and the retry in ``_json_loads`` must absorb that difference rather
+    than rerouting the row to the plain-text fallback."""
+    doc = _mini_layout_doc()
+    # stdlib-only constructs: a NaN confidence and a 2**70 metadata int
+    payload = json.dumps(doc).replace('"Confidence": 95.5',
+                                      '"Confidence": NaN', 1)
+    payload = payload.replace('"Pages": 1', f'"Pages": {2**70}', 1)
+    json.loads(payload)  # sanity: stdlib accepts this
+    tb = parse_layout_json(payload)
+    assert tb.words == ["alpha", "beta", "gamma", "2024-05-06"]
+    # NaN propagates into ocr_conf for the first word (not a crash):
+    assert np.isnan(tb.ocr_conf[0])
+    assert tb.ocr_conf[1] == 95.5
