@@ -149,3 +149,104 @@ def from_word_lists(
     tb.pre_class = np.full(n, -1, dtype=np.int16)
     tb.pre_conf = np.zeros(n, dtype=np.float64)
     return tb.finalize()
+
+
+def from_word_lists_batch(
+    specs: list[tuple[list[list[str]], list[list[int]] | None,
+                      list[list[int]] | None]],
+) -> list[TurnBlocks]:
+    """Batched single-page ``from_word_lists`` over many turns.
+
+    Each spec is ``(line_words, line_hints, line_links)`` with all lines
+    on page 0 — the shape both built-in line parsers (html/plain) emit.
+    Field-for-field equal to calling ``from_word_lists(line_words,
+    [0]*n_lines, ...)`` per turn (pinned by tests); all array math runs
+    once over the concatenated line/word axes and per-turn arrays are
+    sliced out at the end, removing the ~20-small-numpy-ops-per-turn
+    fixed cost (same batching pattern as ``classifier.classify_turns``
+    and ``assembler.assemble_turns``)."""
+    out: list[TurnBlocks] = [TurnBlocks() for _ in specs]
+    act = [i for i, s in enumerate(specs) if s[0]]
+    if not act:
+        return out
+
+    all_lines: list[list[str]] = []
+    lines_per_turn = np.empty(len(act), dtype=np.int64)
+    for k, i in enumerate(act):
+        lw = specs[i][0]
+        all_lines.extend(lw)
+        lines_per_turn[k] = len(lw)
+    n_lines = len(all_lines)
+    counts = np.fromiter(map(len, all_lines), dtype=np.int64, count=n_lines)
+    line_turn_start = np.concatenate([[0], np.cumsum(lines_per_turn)])
+    n = int(counts.sum())
+
+    # row index of each line within ITS TURN (single page per turn):
+    row_in_page = (np.arange(n_lines)
+                   - np.repeat(line_turn_start[:-1], lines_per_turn))
+    lines_per = np.repeat(np.maximum(lines_per_turn, 1),
+                          lines_per_turn).astype(np.float64)
+
+    y0_l = row_in_page / lines_per
+    y1_l = np.minimum((row_in_page + 0.9) / lines_per, 1.0)
+    m_l = np.maximum(counts, 1).astype(np.float64)
+
+    line_ix = np.repeat(np.arange(n_lines), counts)
+    word_j = np.arange(n, dtype=np.float64) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.float64),
+        counts)
+    m_w = m_l[line_ix]
+    boxes01 = np.empty((n, 4), dtype=np.float64)
+    boxes01[:, 0] = word_j / m_w
+    boxes01[:, 1] = y0_l[line_ix]
+    boxes01[:, 2] = np.minimum((word_j + 0.9) / m_w, 1.0)
+    boxes01[:, 3] = y1_l[line_ix]
+
+    words_all: list[str] = [w for lw in all_lines for w in lw]
+    ocr_all = np.fromiter(map(word_ocr_confidence, words_all),
+                          dtype=np.float64, count=n)
+    # per-turn word ranges (every act turn has >= 1 line):
+    words_per_turn = np.add.reduceat(counts, line_turn_start[:-1])
+    word_turn_start = np.concatenate([[0], np.cumsum(words_per_turn)])
+    wpt = words_per_turn.tolist()
+
+    # hints/links: per-line lists, defaulting like from_word_lists does:
+    hint_all = np.empty(n, dtype=np.int16)
+    link_all = np.zeros(n, dtype=np.int8)
+    pos = 0
+    for k, i in enumerate(act):
+        _, lh, ll = specs[i]
+        m = wpt[k]
+        if lh is not None:
+            hint_all[pos:pos + m] = np.fromiter(
+                (h for row in lh for h in row), dtype=np.int16, count=m)
+        else:
+            hint_all[pos:pos + m] = CLS_CONTENT
+        if ll is not None:
+            link_all[pos:pos + m] = np.fromiter(
+                (x for row in ll for x in row), dtype=np.int8, count=m)
+        pos += m
+
+    # local line ids restart at 0 per turn:
+    line_local = (line_ix - np.repeat(
+        line_turn_start[:-1].astype(np.int64), words_per_turn)
+    ).astype(np.int32)
+    page_all = np.zeros(n, dtype=np.int16)
+
+    assert n == 0 or (float(boxes01.min()) >= 0.0
+                      and float(boxes01.max()) <= 1.0)
+    for k, i in enumerate(act):
+        s, e = int(word_turn_start[k]), int(word_turn_start[k + 1])
+        if s == e:
+            continue  # all lines empty -> empty TurnBlocks
+        tb = out[i]
+        tb.words = words_all[s:e]
+        tb.page_id = page_all[s:e]
+        tb.line_id = line_local[s:e]
+        tb.boxes01 = boxes01[s:e]
+        tb.ocr_conf = ocr_all[s:e]
+        tb.hint = hint_all[s:e]
+        tb.link = link_all[s:e]
+        tb.pre_class = np.full(e - s, -1, dtype=np.int16)
+        tb.pre_conf = np.zeros(e - s, dtype=np.float64)
+    return out

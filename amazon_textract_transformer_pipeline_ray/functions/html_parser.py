@@ -97,6 +97,22 @@ def _context_hint(stack: list[str], in_link: bool) -> int:
 
 def parse_html(payload: str) -> TurnBlocks:
     """Parse one HTML-ish payload into a single-page block tree."""
+    line_words, line_hints, line_links = html_line_spec(payload)
+    return from_word_lists(
+        line_words,
+        line_pages=[0] * len(line_words),
+        line_hints=line_hints,
+        line_links=line_links,
+    )
+
+
+def html_line_spec(
+    payload: str,
+) -> tuple[list[list[str]], list[list[int]], list[list[int]]]:
+    """(line_words, line_hints, line_links) for one HTML-ish payload —
+    the per-line intermediate ``parse_html`` feeds to ``from_word_lists``
+    (exposed so the batch path can build many turns' blocks in one
+    vectorized ``from_word_lists_batch`` pass)."""
     line_words: list[list[str]] = []
     line_hints: list[list[int]] = []
     line_links: list[list[int]] = []
@@ -181,9 +197,4 @@ def parse_html(payload: str) -> TurnBlocks:
                 name, eff_stack[-1] if eff_stack else None))
     flush_line()
 
-    return from_word_lists(
-        line_words,
-        line_pages=[0] * len(line_words),
-        line_hints=line_hints,
-        line_links=line_links,
-    )
+    return line_words, line_hints, line_links

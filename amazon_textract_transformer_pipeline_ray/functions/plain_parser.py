@@ -13,14 +13,7 @@ from .blocks import CLS_CONTENT, CLS_DATE, DATE_WORD_RE, TurnBlocks, from_word_l
 
 
 def parse_plain(payload: str) -> TurnBlocks:
-    line_words: list[list[str]] = []
-    line_hints: list[list[int]] = []
-    for raw_line in payload.split("\n"):
-        ws = raw_line.split()
-        if not ws:
-            continue
-        line_words.append(ws)
-        line_hints.append([CLS_DATE if DATE_WORD_RE.match(w) else CLS_CONTENT for w in ws])
+    line_words, line_hints = plain_line_spec(payload)
     if not line_words:
         return TurnBlocks()
     return from_word_lists(
@@ -29,3 +22,20 @@ def parse_plain(payload: str) -> TurnBlocks:
         line_hints=line_hints,
         line_links=[[0] * len(ws) for ws in line_words],
     )
+
+
+def plain_line_spec(
+    payload: str,
+) -> tuple[list[list[str]], list[list[int]]]:
+    """(line_words, line_hints) for one plain-text payload (links are all
+    zero; the batch path passes None and lets the builder default them)."""
+    line_words: list[list[str]] = []
+    line_hints: list[list[int]] = []
+    for raw_line in payload.split("\n"):
+        ws = raw_line.split()
+        if not ws:
+            continue
+        line_words.append(ws)
+        line_hints.append([CLS_DATE if DATE_WORD_RE.match(w) else CLS_CONTENT
+                           for w in ws])
+    return line_words, line_hints

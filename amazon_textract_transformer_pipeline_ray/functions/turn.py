@@ -76,6 +76,40 @@ def parse_payload(payload: str) -> TurnBlocks:
     return PARSERS[detect_dialect(payload)](payload)
 
 
+def parse_payloads_batch(payloads: list[str]) -> list[TurnBlocks]:
+    """Batched ``parse_payload``: html/plain payloads (when their
+    built-in parsers are registered) parse to per-line specs and build
+    their TurnBlocks in ONE vectorized ``from_word_lists_batch`` pass;
+    layout payloads and any user-registered parser keep the per-turn
+    path.  Result-equal to ``[parse_payload(p) for p in payloads]``
+    (pinned by tests)."""
+    from .blocks import from_word_lists_batch
+    from .html_parser import html_line_spec
+    from .plain_parser import plain_line_spec
+
+    tbs: list[TurnBlocks | None] = [None] * len(payloads)
+    ix: list[int] = []
+    specs: list[tuple] = []
+    html_builtin = PARSERS.get(DIALECT_HTML) is parse_html
+    plain_builtin = PARSERS.get(DIALECT_PLAIN) is parse_plain
+    for i, p in enumerate(payloads):
+        d = detect_dialect(p)
+        if d == DIALECT_HTML and html_builtin:
+            lw, lh, ll = html_line_spec(p)
+            ix.append(i)
+            specs.append((lw, lh, ll))
+        elif d == DIALECT_PLAIN and plain_builtin:
+            lw, lh = plain_line_spec(p)
+            ix.append(i)
+            specs.append((lw, lh, None))
+        else:
+            tbs[i] = PARSERS[d](p)
+    if specs:
+        for i, tb in zip(ix, from_word_lists_batch(specs)):
+            tbs[i] = tb
+    return tbs  # type: ignore[return-value]
+
+
 @dataclass
 class ExtractedTurn:
     """Everything the pipeline emits for one turn (None => empty turn,
@@ -133,7 +167,7 @@ def extract_turns_batch(
     from .assembler import assemble_turns
     from .classifier import classify_turns
 
-    tbs = [parse_payload(p) for p in payloads]
+    tbs = parse_payloads_batch(payloads)
     preds = classify_turns(tbs, cfg.n_classes, cfg.max_seq_len)
     assembled = assemble_turns(tbs, preds, cfg.entity_classes)
     out: list[ExtractedTurn | None] = []

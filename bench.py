@@ -39,7 +39,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "200000"))
+# 600k turns keeps the 32-CPU wall >= ~10 s so the ~2 s per-job executor
+# ramp/drain stays a small fraction of the measurement (the corpus must
+# scale with kernel speed — see BASELINE.md, r3o vs r3p):
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "600000"))
 SCALING_SHARDS = 256  # many small shards -> one fused
 # ReadParquet->MapBatches->Write operator (no plasma hop for input data)
 # AND enough tasks to pack any CPU count

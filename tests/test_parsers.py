@@ -149,3 +149,55 @@ def test_layout_decoder_strictness_parity():
     # NaN propagates into ocr_conf for the first word (not a crash):
     assert np.isnan(tb.ocr_conf[0])
     assert tb.ocr_conf[1] == 95.5
+
+
+def test_parse_payloads_batch_equals_per_turn():
+    """``parse_payloads_batch`` (vectorized blocks build for html/plain)
+    must produce field-identical TurnBlocks to per-turn ``parse_payload``
+    across all three dialects, including empty payloads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
+    from amazon_textract_transformer_pipeline_ray.functions.turn import (
+        parse_payload, parse_payloads_batch)
+
+    paths = write_transcripts("/tmp/attp_transcripts/test-parse-2k", 2000,
+                              n_shards=2)
+    texts = ["", "   \n ", "<p>solo</p>", "one two"]
+    for p in sorted(paths):
+        texts.extend(pq.read_table(p, columns=["text"]).column(
+            "text").to_pylist())
+    got = parse_payloads_batch(texts)
+    for t, g in zip(texts, got):
+        e = parse_payload(t)
+        assert g.words == e.words
+        assert g.line_id.tolist() == e.line_id.tolist()
+        assert g.page_id.tolist() == e.page_id.tolist()
+        assert g.hint.tolist() == e.hint.tolist()
+        assert g.link.tolist() == e.link.tolist()
+        assert g.pre_class.tolist() == e.pre_class.tolist()
+        assert g.pre_conf.tolist() == e.pre_conf.tolist()
+        assert g.ocr_conf.tolist() == e.ocr_conf.tolist()
+        assert g.boxes01.tolist() == e.boxes01.tolist()
+
+
+def test_parse_payloads_batch_respects_registered_parser():
+    """A user-registered parser must bypass the vectorized fast path."""
+    from amazon_textract_transformer_pipeline_ray.functions.plain_parser import (
+        parse_plain)
+    from amazon_textract_transformer_pipeline_ray.functions.turn import (
+        PARSERS, parse_payloads_batch, register_parser)
+
+    def custom(payload):
+        tb = parse_plain(payload)
+        tb.hint = np.full(len(tb.words), 5, dtype=np.int16)
+        return tb
+
+    try:
+        register_parser("plain", custom)
+        out = parse_payloads_batch(["hello world"])
+        assert out[0].hint.tolist() == [5, 5]
+    finally:
+        register_parser("plain", parse_plain)
