@@ -251,13 +251,16 @@ def classify_turns(
     pred_class_all, pred_conf_all = _word_preds(
         hints, *scores, token_mult, word_start_g, n_classes)
 
+    # Pass through pre-annotations GLOBALLY (one vectorized overwrite
+    # instead of a copy + mask + two fancy assigns per turn), then hand
+    # out per-turn VIEWS — callers treat predictions as read-only:
+    pre_class_g = np.concatenate([tbs[i].pre_class for i in act])
+    pre = (pre_class_g >= 0) & (pre_class_g < n_classes)
+    if pre.any():
+        pred_class_all[pre] = pre_class_g[pre]
+        pred_conf_all[pre] = np.concatenate(
+            [tbs[i].pre_conf for i in act])[pre]
     for t, i in enumerate(act):
         w0, w1 = word_turn_start[t], word_turn_start[t + 1]
-        pc = pred_class_all[w0:w1].copy()
-        pf = pred_conf_all[w0:w1].copy()
-        tb = tbs[i]
-        pre = (tb.pre_class >= 0) & (tb.pre_class < n_classes)
-        pc[pre] = tb.pre_class[pre]
-        pf[pre] = tb.pre_conf[pre]
-        out[i] = (pc, pf)
+        out[i] = (pred_class_all[w0:w1], pred_conf_all[w0:w1])
     return out  # type: ignore[return-value]
