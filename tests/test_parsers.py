@@ -201,3 +201,29 @@ def test_parse_payloads_batch_respects_registered_parser():
         assert out[0].hint.tolist() == [5, 5]
     finally:
         register_parser("plain", parse_plain)
+
+
+def test_from_word_lists_batch_general_equality():
+    """``from_word_lists_batch`` must equal per-turn ``from_word_lists``
+    on every field for arbitrary single-page specs, including empty
+    lines inside a turn, all-empty turns, default hints/links, and
+    specs with no lines at all."""
+    from amazon_textract_transformer_pipeline_ray.functions.blocks import (
+        from_word_lists, from_word_lists_batch)
+
+    specs = [
+        ([["alpha", "beta"], ["gamma"]], [[1, 0], [3]], [[0, 1], [0]]),
+        ([], None, None),                      # no lines
+        ([["solo"]], None, None),              # defaults
+        ([[]], [[]], [[]]),                    # one empty line
+        ([[], ["x", "y", "z"], []], [[], [0, 0, 0], []], None),
+        ([["w"] * 7], [[0] * 7], [[1] * 7]),
+    ]
+    got = from_word_lists_batch(specs)
+    for (lw, lh, ll), g in zip(specs, got):
+        e = from_word_lists(lw, [0] * len(lw), lh, ll)
+        assert g.words == e.words
+        for f in ("line_id", "page_id", "hint", "link", "ocr_conf",
+                  "pre_class", "pre_conf"):
+            assert getattr(g, f).tolist() == getattr(e, f).tolist(), f
+        assert g.boxes01.tolist() == e.boxes01.tolist()
