@@ -150,3 +150,55 @@ def test_layout_parser_fuzz(blocks):
         assert len(got.extracted_text) >= 0
         for d in got.detections:
             assert got.extracted_text[d.start:d.end] == d.text
+
+
+# --- batched-kernel equivalence under fuzz (round-3 batching waves) -------
+
+_word = st.text(alphabet="abcXYZ09./-", min_size=1, max_size=10)
+_payload = st.one_of(
+    st.text(max_size=200),                              # plain / garbage
+    st.builds(lambda parts: "".join(parts), st.lists(   # html-ish
+        st.one_of(
+            st.builds(lambda t: f"<{t}>", _tag),
+            st.builds(lambda t: f"</{t}>", _tag),
+            st.text(alphabet="ab c.1-\n", min_size=1, max_size=16),
+        ), max_size=30)),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_payload, max_size=12))
+def test_batched_extraction_equals_scalar_under_fuzz(payloads):
+    """The whole batched path (parse_payloads_batch -> classify_turns ->
+    assemble_turns, as composed by extract_turns_batch) must equal the
+    scalar extract_turn per payload on every output field, for arbitrary
+    payload mixes including empty and malformed ones."""
+    from amazon_textract_transformer_pipeline_ray.functions.turn import (
+        extract_turn, extract_turns_batch)
+
+    got = extract_turns_batch(payloads, DEFAULT_CONFIG)
+    for p, g in zip(payloads, got):
+        e = extract_turn(p, DEFAULT_CONFIG)
+        if e is None:
+            assert g is None
+            continue
+        assert g.extracted_text == e.extracted_text
+        assert g.boilerplate_ratio == e.boilerplate_ratio
+        assert g.n_words == e.n_words
+        assert g.pred_class.tolist() == e.pred_class.tolist()
+        assert g.pred_conf.tolist() == e.pred_conf.tolist()
+        assert len(g.detections) == len(e.detections)
+        for dg, de in zip(g.detections, e.detections):
+            assert (dg.class_id, dg.text, dg.raw_text, dg.start, dg.end,
+                    dg.page_num) == (
+                de.class_id, de.text, de.raw_text, de.start, de.end,
+                de.page_num)
+            assert dg.confidence == de.confidence
+            assert dg.box.tolist() == de.box.tolist()
+        assert [
+            (f.name, f.value, f.confidence, f.num_detections)
+            for f in g.fields.fields
+        ] == [
+            (f.name, f.value, f.confidence, f.num_detections)
+            for f in e.fields.fields
+        ]
