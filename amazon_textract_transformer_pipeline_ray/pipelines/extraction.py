@@ -98,12 +98,12 @@ def build_eval_metrics(ds: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> di
     import pyarrow as pa
 
     from ..functions.metrics import distributed_token_metrics
-    from ..functions.turn import extract_turn
+    from ..functions.turn import extract_turns_batch
 
     def label_rows(batch: pa.Table) -> pa.Table:
         labels, preds = [], []
-        for payload in batch.column("text").to_pylist():
-            ext = extract_turn(payload, cfg)
+        exts = extract_turns_batch(batch.column("text").to_pylist(), cfg)
+        for ext in exts:
             if ext is None:
                 continue
             labels.append(ext.blocks.hint.astype("int64").tolist())
