@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
         "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,
+        "doc_dedup_near_corpus": graph.q_doc_dedup_near_corpus,
         "minhash_lsh_pairs": _w_minhash_lsh_pairs,
         "simhash": _w_simhash,
         "simhash_pairs": _w_simhash_pairs,
@@ -899,6 +900,39 @@ def _sql_registry() -> dict[str, str]:
             SELECT CAST(src AS BIGINT) AS doc_id,
                    CAST(MIN(dst) AS BIGINT) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "doc_dedup_near_corpus": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(trim(text),
+                                                                  '\\s+'))) AS w
+                FROM documents WHERE trim(text) <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+                FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT i.da, i.db
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.da
+                JOIN sizes sb ON sb.doc_id = i.db
+                WHERE CAST(i.shared AS DOUBLE)
+                          / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.9),
+            edges AS (SELECT da AS a, db AS b FROM pairs
+                      UNION ALL SELECT db, da FROM pairs),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+            clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                         FROM reach GROUP BY src)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   md5(d.text) AS text_md5
+            FROM documents d
+            JOIN clusters c ON c.doc_id = d.doc_id
+            WHERE c.doc_id = c.cluster_id
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -13,17 +13,17 @@ otherwise need diameter rounds):
 
     labels(node) <- node                                   # init
     repeat:
-        # edge round — one keyed shuffle co-locates each node's label
-        # with its out-edges (coarse hash shards + local sorted-array
+        # ONE fused round — a single keyed shuffle co-locates each
+        # node's label with its out-edges AND its pointer edge
+        # (label(v) -> v), so neighbor propagation and path compression
+        # share the shuffle (coarse hash shards + local sorted-array
         # join — the same shard-group pattern as the LSH bucket stages;
         # Dataset.join is avoided deliberately: joining a union+groupby
         # lineage trips Ray's empty-schema partition handling):
-        labels = min-label round over   graph edges
-        # pointer round — same machinery over the label graph itself
-        # (label(v) -> v), i.e. label(v) <- label(label(v)):
-        labels = min-label round over   pointer edges
+        label(v) <- min(label(v), min_{u~v} label(u), label(label(v)))
     until the label sum stops changing (monotone non-increasing, so the
-    fixpoint test is exact).
+    fixpoint test is exact; the scalar is a task-pool partial sum, not
+    another all-to-all).
 
 The driver holds only the convergence scalar — edges and labels stay
 distributed.  Non-convergence within ``max_iters`` RAISES (a warning
@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 from ..sources.tables import read_table
 
@@ -61,8 +61,9 @@ def connected_components(
     (they map to themselves).
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iters`` double rounds (with pointer jumping that is ~log2 of
-    the largest component diameter — 50 covers any realistic graph).
+    ``max_iters`` rounds (with the fused pointer-jump update that is
+    ~log2 of the largest component diameter — 50 covers any realistic
+    graph).
     """
     from ..sources.scale import shuffle_width
 
@@ -142,31 +143,55 @@ def connected_components(
             "label": np.concatenate([lab_vals, src_label]),
         })
 
-    def min_label_round(labels: rd.Dataset,
-                        extra_rows: rd.Dataset) -> rd.Dataset:
-        rows = labels.map_batches(to_label_rows,
-                                  batch_format="pyarrow").union(extra_rows)
+    def min_label_round(labels: rd.Dataset) -> rd.Dataset:
+        """One FUSED round: label'(v) = min(label(v), min over neighbor
+        labels, label(label(v))).  Edge messages and pointer-jump
+        messages resolve against the same per-shard label map, so the
+        neighbor-propagation and path-compression updates share ONE
+        keyed shuffle + ONE min-aggregate instead of two of each (the
+        round count stays O(log diameter); per-round all-to-all cost
+        halves, which dominates wall time)."""
+        rows = (labels.map_batches(to_label_rows, batch_format="pyarrow")
+                .union(edge_rows,
+                       labels.map_batches(to_pointer_rows,
+                                          batch_format="pyarrow")))
         msgs = rows.groupby("shard").map_groups(propagate,
                                                 batch_format="pandas")
+        # repartition caps the label block count at n_shards: without it
+        # every round's union+shuffle output inherits the SUM of its
+        # input block counts, so blocks (and per-task fixed overhead)
+        # grow geometrically with the round number — the coalesce is a
+        # metadata-level split, not another all-to-all:
         return (msgs.groupby("node")
                 .aggregate(Min("label", alias_name="label"))
+                .repartition(n_shards)
                 .materialize())
+
+    def label_sum(labels: rd.Dataset) -> int:
+        """Convergence scalar via per-batch partial sums on the already
+        materialized label table — a task-pool pass, not another
+        all-to-all ``aggregate``."""
+        import pyarrow.compute as pc
+
+        def part(t: pa.Table) -> pa.Table:
+            s = (pc.sum(t["label"]).as_py() or 0
+                 if "label" in t.column_names else 0)
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        return int(labels.map_batches(part, batch_format="pyarrow")
+                   .to_pandas()["s"].sum())
 
     prev_sum = None
     for _ in range(max_iters):
-        # graph round, then pointer-jump round over the fresh labels:
-        labels = min_label_round(labels, edge_rows)
-        labels = min_label_round(
-            labels, labels.map_batches(to_pointer_rows,
-                                       batch_format="pyarrow"))
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        labels = min_label_round(labels)
+        cur = label_sum(labels)
         if prev_sum is not None and cur == prev_sum:  # exact fixpoint:
             break  # label sum is monotone non-increasing
         prev_sum = cur
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
-            "double rounds — component diameter exceeds 2^iters; raise "
+            "rounds — component diameter exceeds 2^iters; raise "
             "max_iters")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -183,6 +208,15 @@ def q_jaccard_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Cluster-level dedup over the exact near-dup graph: every document
     labeled with its component's min doc_id (singletons map to self).
     Output: (doc_id, cluster_id) — 'keep' set = rows where they match."""
+    comp = _dedup_components(sf_dir)
+    out = comp.to_pandas().rename(columns={"node": "doc_id"})
+    return (out.astype({"doc_id": np.int64, "cluster_id": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _dedup_components(sf_dir: str) -> rd.Dataset:
+    """(node, cluster_id) components of the exact-Jaccard >= 0.9 graph
+    over every document (shared by the cluster and survivor queries)."""
     from .dedup import q_jaccard_dup_pairs
 
     pairs = q_jaccard_dup_pairs(sf_dir)
@@ -193,7 +227,52 @@ def q_jaccard_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     nodes = (read_table(sf_dir, "documents", ["doc_id"])
              .map_batches(lambda t: pa.table({"node": t.column("doc_id")}),
                           batch_format="pyarrow"))
-    comp = connected_components(edges, nodes)
-    out = comp.to_pandas().rename(columns={"node": "doc_id"})
-    return (out.astype({"doc_id": np.int64, "cluster_id": np.int64})
-            .sort_values("doc_id").reset_index(drop=True))
+    return connected_components(edges, nodes)
+
+
+def q_doc_dedup_near_corpus(sf_dir: str) -> rd.Dataset:
+    """The MATERIALIZED output of near-dup dedup: every document that
+    survives cluster-level removal (representative = min doc_id per
+    connected component of the similarity graph; singletons survive
+    trivially), with content stats for downstream lineage.
+    Output: (doc_id, n_chars, text_md5), one row per kept document.
+
+    Scale shape: components stay a distributed Dataset end-to-end — the
+    survivor ids (node == cluster_id) are filtered per batch, documents
+    are reduced to (doc_id, n_chars, md5) inside ``map_batches``, and the
+    two sides meet in ONE hash shuffle join keyed on doc_id.  No driver
+    set and no broadcast: the survivor side is ~the whole corpus (most
+    docs are unique), so a broadcast semi-join would be wrong here —
+    unlike relational.py's Semi/Anti whose key sets are dimension-sized.
+    The pair graph comes from ``q_jaccard_dup_pairs`` (the exact,
+    oracle-anchored variant); at real scale swap in
+    ``q_minhash_lsh_pairs`` — the downstream plan is identical."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..sources.scale import join_width, table_num_rows
+
+    comp = _dedup_components(sf_dir)
+
+    def reps(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["node"], t["cluster_id"]))
+        return pa.table({"keep_id": kept.column("node")})
+
+    survivors = comp.map_batches(reps, batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(x.encode("utf-8")).hexdigest()
+                   for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+            "text_md5": pa.array(digests, pa.string()),
+        })
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=8192)
+    width = join_width(table_num_rows(sf_dir, "documents"))
+    joined = docs.join(survivors, join_type="inner", num_partitions=width,
+                       on=("doc_id",), right_on=("keep_id",))
+    return joined.select_columns(["doc_id", "n_chars", "text_md5"])

@@ -87,3 +87,28 @@ def test_dedup_clusters_invariants(ray_session):
     # keep-set size == number of distinct clusters
     keep = clusters[clusters["doc_id"] == clusters["cluster_id"]]
     assert len(keep) == clusters["cluster_id"].nunique()
+
+
+def test_dedup_near_corpus_partition(ray_session):
+    """Survivor table == documents restricted to cluster representatives,
+    and its stats columns are faithful to the raw text."""
+    import hashlib
+
+    import pandas as pd
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.graph import (
+        q_doc_dedup_near_corpus, q_jaccard_dedup_clusters)
+
+    sf = "/root/testdata/sf0.001"
+    kept = q_doc_dedup_near_corpus(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    clusters = q_jaccard_dedup_clusters(sf)
+    reps = clusters[clusters["doc_id"] == clusters["cluster_id"]]["doc_id"]
+    assert list(kept["doc_id"]) == sorted(reps)
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    for _, row in kept.iterrows():
+        text = docs.loc[row["doc_id"], "text"]
+        assert row["n_chars"] == len(text)
+        assert row["text_md5"] == hashlib.md5(text.encode()).hexdigest()
