@@ -278,6 +278,21 @@ def _x_task_mlm(sf_dir: str):
         get_task("mlm", read_transcripts(_oracle_fixtures(sf_dir))), "mlm")
 
 
+def _x_task_packed(sf_dir: str):
+    """Greedy token-budget sequence packing of the training windows, one
+    row per pack (training.py:build_packed_examples) — SQL-checked by
+    replaying the greedy scan as a DuckDB recursive CTE over the
+    INDEPENDENT window fixture (the packing logic is therefore verified
+    against a second implementation in a different paradigm)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        read_transcripts)
+    from amazon_textract_transformer_pipeline_ray.pipelines.training import (
+        build_packed_examples, build_training_examples)
+
+    return build_packed_examples(
+        build_training_examples(read_transcripts(_oracle_fixtures(sf_dir))))
+
+
 def _x_task_seq2seq(sf_dir: str):
     """Seq2seq date-normalization pairs mined from date spans, deduped
     distributed (SQL-checked against the oracle's mined-pair table)."""
@@ -451,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_training_examples": _x_training_examples,
         "x_task_mlm": _x_task_mlm,
         "x_task_seq2seq": _x_task_seq2seq,
+        "x_task_packed": _x_task_packed,
         "x_spans": _x_spans,
         "x_eval_metrics": _x_eval_metrics,
         "x_tool_stats": _x_tool_stats,
@@ -599,6 +615,40 @@ def _sql_registry() -> dict[str, str]:
         "x_training_examples":
             f"SELECT * FROM {fix.format(name='training')}",
         "x_task_mlm": f"SELECT * FROM {fix.format(name='mlm')}",
+        # Greedy packing replayed as a recursive scan over the
+        # INDEPENDENT window fixture (per-conv row recursion; depth =
+        # max windows per conversation):
+        "x_task_packed": f"""
+            WITH RECURSIVE w AS (
+                SELECT conv_id, turn_idx, page, window_idx, n_tokens,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY conv_id
+                           ORDER BY turn_idx, page, window_idx) AS rn
+                FROM {fix.format(name='training')}),
+            acc AS (
+                SELECT conv_id, rn, turn_idx, page, window_idx, n_tokens,
+                       CAST(n_tokens AS BIGINT) AS cum, 0 AS pack
+                FROM w WHERE rn = 1
+                UNION ALL
+                SELECT w.conv_id, w.rn, w.turn_idx, w.page, w.window_idx,
+                       w.n_tokens,
+                       CASE WHEN a.cum + w.n_tokens > 512
+                            THEN CAST(w.n_tokens AS BIGINT)
+                            ELSE a.cum + w.n_tokens END,
+                       CASE WHEN a.cum + w.n_tokens > 512
+                            THEN a.pack + 1 ELSE a.pack END
+                FROM acc a JOIN w
+                    ON w.conv_id = a.conv_id AND w.rn = a.rn + 1)
+            SELECT conv_id, CAST(pack AS INT) AS pack_idx,
+                   CAST(COUNT(*) AS INT) AS n_windows,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(CAST(SUM(n_tokens) AS DOUBLE) / 512 AS REAL)
+                       AS fill_ratio,
+                   md5(string_agg(turn_idx || ':' || page || ':'
+                                      || window_idx,
+                                  ',' ORDER BY rn)) AS window_md5
+            FROM acc GROUP BY conv_id, pack
+        """,
         "x_eval_metrics":
             f"SELECT * FROM {fix.format(name='eval_metrics')}",
         "x_tool_stats": """

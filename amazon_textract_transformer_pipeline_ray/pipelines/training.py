@@ -189,3 +189,92 @@ def build_training_examples(
 
     return ds.map_batches(to_examples, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-throughput export shape)
+# ---------------------------------------------------------------------------
+
+PACKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("pack_idx", pa.int32()),      # 0-based pack within the conversation
+    ("n_windows", pa.int32()),
+    ("n_tokens", pa.int64()),
+    ("fill_ratio", pa.float32()),  # n_tokens / budget (exact: budget = 2^k)
+    ("window_md5", pa.string()),   # md5 of "turn:page:win,..." in pack order
+])
+
+
+def build_packed_examples(
+    windows: rd.Dataset,
+    token_budget: int = 512,
+) -> rd.Dataset:
+    """Greedy in-order sequence packing of training windows into
+    fixed token-budget bins, per conversation — the export shape that
+    keeps training-step utilization high (padding only at pack tails).
+
+    Deterministic spec: windows of one conversation are visited in
+    (turn_idx, page, window_idx) order; a window joins the current pack
+    unless its tokens would overflow ``token_budget``, in which case the
+    pack closes and a new one starts (every pack holds >= 1 window, so an
+    oversized window rides alone and ``fill_ratio`` may exceed 1.0).
+
+    Scale shape: ONE coarse-hash shuffle on conv_id (the same shard-group
+    pattern as the LSH bucket stages — grouping at conversation
+    granularity would pay Ray's per-group overhead per conv); inside a
+    shard task the windows are sorted once and scanned once.  The scan is
+    sequential BY DEFINITION (each pack boundary depends on the previous
+    one), so the parallel unit is the conversation; the per-element work
+    is a compare+add.  Output: one row per pack (PACKED_SCHEMA).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..sources.scale import shuffle_width
+
+    n_shards = shuffle_width()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        shard = (pd.util.hash_array(conv.astype(object)).astype(np.uint64)
+                 % np.uint64(n_shards)).astype(np.int32)
+        return t.select(["conv_id", "turn_idx", "page", "window_idx",
+                         "n_tokens"]).append_column(
+            "shard", pa.array(shard))
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "page", "window_idx"],
+                          kind="mergesort").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        toks = g["n_tokens"].to_numpy().astype(np.int64)
+        new_conv = np.empty(len(g), dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = conv[1:] != conv[:-1]
+        pack = np.zeros(len(g), dtype=np.int32)
+        cum = 0
+        p = 0
+        for i in range(len(g)):          # sequential scan (see docstring)
+            if new_conv[i]:
+                p, cum = 0, 0
+            elif cum + toks[i] > token_budget:
+                p, cum = p + 1, 0
+            cum += toks[i]
+            pack[i] = p
+        g["pack_idx"] = pack
+        keys = (g["turn_idx"].astype(str) + ":" + g["page"].astype(str)
+                + ":" + g["window_idx"].astype(str))
+        out = (g.assign(key=keys)
+               .groupby(["conv_id", "pack_idx"], as_index=False, sort=True)
+               .agg(n_windows=("key", "size"), n_tokens=("n_tokens", "sum"),
+                    window_keys=("key", ",".join)))
+        out["fill_ratio"] = (out["n_tokens"] / token_budget).astype(
+            np.float32)
+        out["window_md5"] = [hashlib.md5(k.encode()).hexdigest()
+                             for k in out.pop("window_keys")]
+        return out.astype({"pack_idx": np.int32, "n_windows": np.int32,
+                           "n_tokens": np.int64})
+
+    return (windows.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(pack_shard, batch_format="pandas")
+            .select_columns([f.name for f in PACKED_SCHEMA]))

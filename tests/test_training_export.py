@@ -118,3 +118,58 @@ def test_one_page_hand_example():
                          max_seq_len=8)
     assert [(r["word_start"], r["word_end"]) for r in rows] == [
         (0, 4), (4, 8), (5, 9)]
+
+
+def _pack_df(rows, budget):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.training import (
+        build_packed_examples)
+
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "page": pa.array([r[2] for r in rows], pa.int16()),
+        "window_idx": pa.array([r[3] for r in rows], pa.int32()),
+        "n_tokens": pa.array([r[4] for r in rows], pa.int32()),
+    })
+    return (build_packed_examples(rd.from_arrow(t), token_budget=budget)
+            .to_pandas().sort_values(["conv_id", "pack_idx"])
+            .reset_index(drop=True))
+
+
+def test_packing_hand_computed(ray_session):
+    # conv A: 300+200 fit (500<=512); +100 overflows -> new pack; conv B
+    # resets; an oversized 600-token window rides alone with fill > 1.
+    rows = [
+        ("A", 0, 1, 0, 300), ("A", 0, 1, 1, 200), ("A", 1, 1, 0, 100),
+        ("B", 0, 1, 0, 600), ("B", 0, 1, 1, 512), ("B", 0, 1, 2, 1),
+    ]
+    df = _pack_df(rows, 512)
+    got = [(r.conv_id, r.pack_idx, r.n_windows, r.n_tokens)
+           for r in df.itertuples()]
+    assert got == [("A", 0, 2, 500), ("A", 1, 1, 100),
+                   ("B", 0, 1, 600), ("B", 1, 1, 512), ("B", 2, 1, 1)]
+    assert df["fill_ratio"].tolist() == [
+        500 / 512, 100 / 512, 600 / 512, 1.0, 1 / 512]
+
+
+def test_packing_order_and_determinism(ray_session):
+    # shuffled input rows produce identical packs (ordering is by
+    # (turn_idx, page, window_idx), not input order), and the pack
+    # sequence is the greedy scan of the sorted windows
+    rows = [("C", t, p, w, 128) for t in range(3) for p in (1, 2)
+            for w in range(2)]
+    import random
+
+    rnd = random.Random(7)
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    a = _pack_df(rows, 512)
+    b = _pack_df(shuffled, 512)
+    assert a.equals(b)
+    # 12 windows x 128 tokens, budget 512 -> 3 full packs of 4
+    assert a["n_windows"].tolist() == [4, 4, 4]
+    assert a["n_tokens"].tolist() == [512, 512, 512]
+    assert a["window_md5"].nunique() == 3
