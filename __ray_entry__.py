@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
         "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,
         "doc_dedup_near_corpus": graph.q_doc_dedup_near_corpus,
+        "doc_dup_ngram_stats": dedup.q_doc_dup_ngram_stats,
         "minhash_lsh_pairs": _w_minhash_lsh_pairs,
         "simhash": _w_simhash,
         "simhash_pairs": _w_simhash_pairs,
@@ -983,6 +984,35 @@ def _sql_registry() -> dict[str, str]:
             FROM documents d
             JOIN clusters c ON c.doc_id = d.doc_id
             WHERE c.doc_id = c.cluster_id
+        """,
+        "doc_dup_ngram_stats": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''),
+            grams AS (
+                SELECT t.doc_id,
+                       array_to_string(t.ts[r.i:r.i+7], ' ') AS g
+                FROM tok t, unnest(range(1, len(t.ts) - 6)) AS r(i)),
+            gd AS (SELECT g, doc_id, COUNT(*) AS npos
+                   FROM grams GROUP BY g, doc_id),
+            dup AS (SELECT g FROM gd GROUP BY g HAVING COUNT(*) >= 2),
+            dups AS (SELECT gd.doc_id, SUM(gd.npos) AS nd
+                     FROM gd JOIN dup USING (g) GROUP BY gd.doc_id),
+            tot AS (SELECT doc_id,
+                           greatest(len(regexp_split_to_array(trim(text),
+                                                              '\s+')) - 7,
+                                    0) AS n
+                    FROM documents WHERE trim(text) <> '')
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(t.n, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(u.nd, 0) AS BIGINT) AS n_dup_ngrams,
+                   CASE WHEN COALESCE(t.n, 0) > 0
+                        THEN CAST(COALESCE(u.nd, 0) AS DOUBLE) / t.n
+                        ELSE 0.0 END AS dup_ratio
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN dups u USING (doc_id)
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -677,3 +677,164 @@ def q_simhash_pairs(sf_dir: str,
                              "doc_id_b": pd.Series([], dtype=np.int64)})
     return (out.astype({"doc_id_a": np.int64, "doc_id_b": np.int64})
             .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-grams (substring-level dedup primitive;
+# the detection pass of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" — per-doc counts of 8-gram positions whose
+# gram also occurs in another document)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 8
+_NG_BASE = 1099511628211  # FNV-1a prime as the polynomial base (mod 2^64)
+
+
+def _gram_ids(h: np.ndarray) -> np.ndarray:
+    """Polynomial n-gram ids over a positional token-id array, wrapping
+    uint64 arithmetic: g[i] = sum_j h[i+j] * B^(N-1-j) mod 2^64.  Eight
+    shifted multiply-adds — no per-gram Python loop."""
+    m = len(h) - NGRAM_N + 1
+    if m <= 0:
+        return np.zeros(0, np.uint64)
+    g = np.zeros(m, np.uint64)
+    p = 1
+    with np.errstate(over="ignore"):
+        for j in range(NGRAM_N - 1, -1, -1):
+            g += h[j:j + m] * np.uint64(p)
+            p = (p * _NG_BASE) % (1 << 64)
+    return g
+
+
+def _batch_gram_rows(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch n-gram extraction.  Returns
+    (gram_ids, doc_ix, npos, n_ngrams): distinct (gram, doc) pairs with
+    their in-doc position counts, plus per-doc total gram positions.
+    One vectorized token-hash call; doc boundaries masked vectorized
+    (a gram is valid iff its first and last token fall in the same doc).
+    """
+    tok_lists = [_tokens(t) for t in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    n = len(texts)
+    n_ngrams = np.maximum(counts - (NGRAM_N - 1), 0)
+    total = int(counts.sum())
+    if total < NGRAM_N:
+        z = np.zeros(0, np.uint64)
+        return z, np.zeros(0, np.int64), np.zeros(0, np.int64), n_ngrams
+    flat = np.empty(total, dtype=object)
+    flat[:] = [w for ws in tok_lists for w in ws]
+    h = pd.util.hash_array(flat).astype(np.uint64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    g_all = _gram_ids(h)                      # crosses doc boundaries...
+    valid = doc[:len(g_all)] == doc[NGRAM_N - 1:]  # ...masked here
+    g, gdoc = g_all[valid], doc[:len(g_all)][valid]
+    if not len(g):
+        z = np.zeros(0, np.uint64)
+        return z, np.zeros(0, np.int64), np.zeros(0, np.int64), n_ngrams
+    order = np.lexsort((g, gdoc))
+    gs, ds = g[order], gdoc[order]
+    new = np.concatenate([[True], (ds[1:] != ds[:-1]) | (gs[1:] != gs[:-1])])
+    starts = np.flatnonzero(new)
+    npos = np.diff(np.concatenate([starts, [len(gs)]])).astype(np.int64)
+    return gs[new], ds[new], npos, n_ngrams
+
+
+def q_doc_dup_ngram_stats(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
+    """Per-document statistics of cross-document duplicated 8-grams:
+    (doc_id, n_ngrams, n_dup_ngrams, dup_ratio) where ``n_dup_ngrams``
+    counts the gram POSITIONS whose 8-gram occurs in >= ``min_docs``
+    distinct documents — the detection primitive for substring-level
+    dedup (span removal keys off these positions).
+
+    Scale shape: TWO all-to-alls total.  (1) distinct (gram, doc, npos)
+    rows — pre-deduplicated per batch — shuffle on a coarse gram-hash
+    shard; each shard task segments exact grams and keeps groups with
+    >= min_docs distinct docs (rows are globally distinct per (gram,
+    doc), so the group row count IS the doc count).  (2) the per-doc
+    dup partials UNION the per-doc totals feed one groupby(doc_id) sum
+    — the union-with-zeros trick replaces a doc-keyed join.  Gram
+    identity is a 64-bit polynomial over siphash token ids; a collision
+    would need ~2^32 distinct grams per shard (birthday bound) — at
+    that scale raise the shard count, which also shrinks collision
+    exposure per task."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.scale import shuffle_width, table_num_rows
+
+    n_shards = shuffle_width(
+        n_rows=table_num_rows(sf_dir, "documents"),
+        rows_per_shard=LSH_ROWS_PER_SHARD)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        g, dix, npos, _ = _batch_gram_rows(texts)
+        shard = ((g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 16)
+                 ).astype(np.int64) % n_shards
+        return pa.table({
+            "shard": pa.array(shard.astype(np.int32)),
+            "gram": pa.array(g),
+            "doc_id": pa.array(ids[dix]),
+            "npos": pa.array(npos),
+        })
+
+    def totals_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        counts = np.fromiter((len(_tokens(x)) for x in texts),
+                             dtype=np.int64, count=len(texts))
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_ngrams": pa.array(
+                np.maximum(counts - (NGRAM_N - 1), 0)),
+            "n_dup_ngrams": pa.array(np.zeros(len(texts), np.int64)),
+        })
+
+    def dup_partials(g: pd.DataFrame) -> pa.Table:
+        # returns Arrow so the union with the Arrow totals stream stays
+        # one block type
+        gr = g["gram"].to_numpy()
+        order = np.argsort(gr, kind="mergesort")
+        gs = gr[order]
+        docs = g["doc_id"].to_numpy()[order]
+        npos = g["npos"].to_numpy()[order]
+        new = np.concatenate([[True], gs[1:] != gs[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(gs)]]))
+        keep = np.repeat(sizes >= min_docs, sizes)
+        return pa.table({
+            "doc_id": pa.array(docs[keep], pa.int64()),
+            "n_ngrams": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "n_dup_ngrams": pa.array(npos[keep], pa.int64()),
+        })
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    dup = (docs.map_batches(gram_rows, batch_format="pyarrow",
+                            batch_size=4096)
+           .groupby("shard").map_groups(dup_partials,
+                                        batch_format="pandas"))
+    totals = docs.map_batches(totals_rows, batch_format="pyarrow",
+                              batch_size=4096)
+    agg = (totals.union(dup)
+           .groupby("doc_id")
+           .aggregate(Sum("n_ngrams", alias_name="n_ngrams"),
+                      Sum("n_dup_ngrams", alias_name="n_dup_ngrams")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_ngrams": z, "n_dup_ngrams": z,
+                             "dup_ratio": pa.array([], pa.float64())})
+        n = t.column("n_ngrams").to_numpy().astype(np.float64)
+        d = t.column("n_dup_ngrams").to_numpy().astype(np.float64)
+        ratio = np.divide(d, n, out=np.zeros_like(d), where=n > 0)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_ngrams": t.column("n_ngrams").cast(pa.int64()),
+            "n_dup_ngrams": t.column("n_dup_ngrams").cast(pa.int64()),
+            "dup_ratio": pa.array(ratio),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -154,3 +154,56 @@ def test_distributed_lloyd_refines_sample_model(ray_session):
     assert np.allclose(norms, 1.0, atol=1e-9)
     # distinct lists survive refinement:
     assert len(np.unique(ref.round(6), axis=0)) == len(ref)
+
+
+def test_gram_kernel_hand_computed():
+    """_batch_gram_rows: doc boundaries masked, positions counted,
+    totals clipped at zero."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.dedup import (
+        NGRAM_N, _batch_gram_rows)
+
+    assert NGRAM_N == 8
+    a = "t0 t1 t2 t3 t4 t5 t6 t7 t8"       # 9 tokens -> grams @0,@1
+    b = "t0 t1 t2 t3 t4 t5 t6 t7"          # 8 tokens -> the @0 gram again
+    c = "t0 t1 t2 t3 t4 t5 t6 t7 " * 2     # b repeated -> @0 twice + mixes
+    g, dix, npos, tot = _batch_gram_rows([a, b, "short", "", c])
+    assert tot.tolist() == [2, 1, 0, 0, 9]
+    # doc boundaries: no gram mixes two docs, so every c-gram comes from c
+    assert int(npos.sum()) == 2 + 1 + 9
+    # the shared leading gram appears in docs 0, 1 and (twice) 4
+    import collections
+
+    by_gram = collections.defaultdict(list)
+    for gid, d, n in zip(g.tolist(), dix.tolist(), npos.tolist()):
+        by_gram[gid].append((d, n))
+    shared = [v for v in by_gram.values() if len(v) == 3]
+    assert shared == [[(0, 1), (1, 1), (4, 2)]]
+
+
+def test_dup_ngram_stats_small(ray_session):
+    """Distributed stats over a tiny in-memory corpus, hand-checked."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile, os
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.dedup import (
+        q_doc_dup_ngram_stats)
+
+    with tempfile.TemporaryDirectory() as d:
+        shared = "w0 w1 w2 w3 w4 w5 w6 w7"
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                shared + " tail1",      # grams @0 (shared), @1, @2
+                shared,                 # gram @0 (shared)
+                "u0 u1 u2 u3 u4 u5 u6 u7 u8",   # 2 unique grams
+                "tiny",                          # no grams
+            ]),
+        })
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = (q_doc_dup_ngram_stats(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out["doc_id"].tolist() == [1, 2, 3, 4]
+        assert out["n_ngrams"].tolist() == [2, 1, 2, 0]
+        assert out["n_dup_ngrams"].tolist() == [1, 1, 0, 0]
+        assert out["dup_ratio"].tolist() == [0.5, 1.0, 0.0, 0.0]
