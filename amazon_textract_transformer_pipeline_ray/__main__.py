@@ -77,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--task", default="ner",
                      choices=("mlm", "ner", "seq2seq"))
     exp.add_argument("--max-seq-len", type=int, default=None)
+    exp.add_argument("--pack-budget", type=int, default=None,
+                     help="also write the greedy token-budget pack table "
+                          "(ner/mlm window tasks) to <dest>_packed")
 
     args = ap.parse_args(argv)
 
@@ -142,9 +145,21 @@ def main(argv: list[str] | None = None) -> int:
                          read_transcripts(_expand_inputs(args.input)),
                          **kwargs)
         table.write_parquet(args.dest)
-        print(json.dumps({"task": args.task,
-                          "rows": rd.read_parquet(args.dest).count(),
-                          "dest": args.dest}))
+        result = {"task": args.task,
+                  "rows": rd.read_parquet(args.dest).count(),
+                  "dest": args.dest}
+        if args.pack_budget is not None:
+            if args.task == "seq2seq":
+                ap.error("--pack-budget applies to window tasks (ner/mlm)")
+            from .pipelines.training import build_packed_examples
+
+            packed_dest = args.dest.rstrip("/") + "_packed"
+            build_packed_examples(
+                rd.read_parquet(args.dest),
+                token_budget=args.pack_budget).write_parquet(packed_dest)
+            result["packed_rows"] = rd.read_parquet(packed_dest).count()
+            result["packed_dest"] = packed_dest
+        print(json.dumps(result))
         return 0
 
     # run

@@ -205,6 +205,24 @@ PACKED_SCHEMA = pa.schema([
 ])
 
 
+def greedy_pack(new_conv: np.ndarray, toks: np.ndarray,
+                token_budget: int) -> np.ndarray:
+    """Pack index per window (the pure greedy scan; spec in
+    ``build_packed_examples``).  ``new_conv[i]`` marks the first window
+    of a conversation in the (already sorted) window sequence."""
+    pack = np.zeros(len(toks), dtype=np.int32)
+    cum = 0
+    p = 0
+    for i in range(len(toks)):           # sequential scan (see docstring)
+        if new_conv[i]:
+            p, cum = 0, 0
+        elif cum + toks[i] > token_budget:
+            p, cum = p + 1, 0
+        cum += toks[i]
+        pack[i] = p
+    return pack
+
+
 def build_packed_examples(
     windows: rd.Dataset,
     token_budget: int = 512,
@@ -251,17 +269,7 @@ def build_packed_examples(
         new_conv = np.empty(len(g), dtype=bool)
         new_conv[0] = True
         new_conv[1:] = conv[1:] != conv[:-1]
-        pack = np.zeros(len(g), dtype=np.int32)
-        cum = 0
-        p = 0
-        for i in range(len(g)):          # sequential scan (see docstring)
-            if new_conv[i]:
-                p, cum = 0, 0
-            elif cum + toks[i] > token_budget:
-                p, cum = p + 1, 0
-            cum += toks[i]
-            pack[i] = p
-        g["pack_idx"] = pack
+        g["pack_idx"] = greedy_pack(new_conv, toks, token_budget)
         keys = (g["turn_idx"].astype(str) + ":" + g["page"].astype(str)
                 + ":" + g["window_idx"].astype(str))
         out = (g.assign(key=keys)

@@ -78,3 +78,22 @@ def test_cli_normalize_and_export(ray_session, tmp_path, capsys):
                      "--task", task, "--max-seq-len", "64"]) == 0
         t = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert t["rows"] > 0 and t["task"] == task
+
+
+def test_cli_export_packed(ray_session, tmp_path, capsys):
+    import pandas as pd
+
+    inputs_dir = str(tmp_path / "in")
+    write_transcripts(inputs_dir, 120, n_shards=2)
+    dest = str(tmp_path / "ner_table")
+    assert main(["export", "--input", inputs_dir, "--dest", dest,
+                 "--task", "ner", "--max-seq-len", "64",
+                 "--pack-budget", "256"]) == 0
+    t = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert t["packed_dest"] == dest + "_packed"
+    packed = pd.read_parquet(t["packed_dest"])
+    assert len(packed) == t["packed_rows"] > 0
+    # every window accounted for exactly once
+    windows = pd.read_parquet(dest)
+    assert packed["n_windows"].sum() == len(windows)
+    assert packed["n_tokens"].sum() == windows["n_tokens"].sum()

@@ -202,3 +202,39 @@ def test_batched_extraction_equals_scalar_under_fuzz(payloads):
             (f.name, f.value, f.confidence, f.num_detections)
             for f in e.fields.fields
         ]
+
+
+@given(st.lists(st.tuples(st.integers(0, 4),           # conv id
+                          st.integers(1, 700)),        # window tokens
+                min_size=1, max_size=200),
+       st.integers(64, 512))
+@settings(max_examples=200, deadline=None)
+def test_greedy_pack_invariants(rows, budget):
+    """greedy_pack: packs never exceed the budget unless they hold a
+    single oversized window; pack ids are dense per conversation; the
+    scan is greedy (a window never fits in the pack it was split from)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.training import (
+        greedy_pack)
+
+    rows = sorted(rows)                       # (conv, ...) sorted order
+    conv = np.array([c for c, _ in rows])
+    toks = np.array([t for _, t in rows], dtype=np.int64)
+    new_conv = np.empty(len(rows), dtype=bool)
+    new_conv[0] = True
+    new_conv[1:] = conv[1:] != conv[:-1]
+    pack = greedy_pack(new_conv, toks, budget)
+
+    for c in np.unique(conv):
+        m = conv == c
+        p, t = pack[m], toks[m]
+        # dense 0..max ids, non-decreasing
+        assert p[0] == 0 and (np.diff(p) >= 0).all() and (np.diff(p) <= 1).all()
+        sums = np.bincount(p, weights=t).astype(np.int64)
+        sizes = np.bincount(p)
+        # over-budget packs are exactly the singleton oversized windows
+        for s, n in zip(sums, sizes):
+            assert s <= budget or n == 1
+        # greedy: the first window of pack k+1 would overflow pack k
+        firsts = np.flatnonzero(np.diff(p) == 1) + 1
+        for f in firsts:
+            assert sums[p[f] - 1] + t[f] > budget
