@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "jaccard_dup_pairs",
     "simhash_pairs",
     "embedding_knn",
+    "doc_dup_ngram_stats",
 ]
 
 
