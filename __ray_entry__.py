@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,
         "doc_dedup_near_corpus": graph.q_doc_dedup_near_corpus,
         "doc_dup_ngram_stats": dedup.q_doc_dup_ngram_stats,
+        "doc_dedup_ngram_corpus": dedup.q_doc_dedup_ngram_corpus,
         "minhash_lsh_pairs": _w_minhash_lsh_pairs,
         "simhash": _w_simhash,
         "simhash_pairs": _w_simhash_pairs,
@@ -1013,6 +1014,41 @@ def _sql_registry() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN dups u USING (doc_id)
+        """,
+        "doc_dedup_ngram_corpus": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''),
+            grams AS (
+                SELECT t.doc_id, r.i AS p,
+                       array_to_string(t.ts[r.i:r.i+7], ' ') AS g
+                FROM tok t, unnest(range(1, len(t.ts) - 6)) AS r(i)),
+            dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+                                   FROM grams GROUP BY g) WHERE nd >= 2),
+            cov AS (SELECT DISTINCT grams.doc_id, grams.p + o.j AS t
+                    FROM grams JOIN dup USING (g),
+                         unnest(range(0, 8)) AS o(j)),
+            toks AS (SELECT tok.doc_id, tok.ts[r.i] AS w, r.i AS ord
+                     FROM tok, unnest(range(1, len(ts) + 1)) AS r(i)),
+            surv AS (SELECT toks.doc_id, toks.w, toks.ord
+                     FROM toks LEFT JOIN cov
+                         ON cov.doc_id = toks.doc_id AND cov.t = toks.ord
+                     WHERE cov.t IS NULL),
+            clean AS (SELECT doc_id,
+                             string_agg(w, ' ' ORDER BY ord) AS ctext
+                      FROM surv GROUP BY doc_id),
+            nrem AS (SELECT doc_id, COUNT(*) AS nr FROM cov
+                     GROUP BY doc_id),
+            ntok AS (SELECT doc_id, len(ts) AS nt FROM tok)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(ntok.nt, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(nrem.nr, 0) AS BIGINT) AS n_removed,
+                   md5(COALESCE(clean.ctext, '')) AS cleaned_md5
+            FROM documents d
+            LEFT JOIN ntok USING (doc_id)
+            LEFT JOIN nrem USING (doc_id)
+            LEFT JOIN clean USING (doc_id)
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

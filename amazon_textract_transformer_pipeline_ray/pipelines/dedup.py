@@ -838,3 +838,154 @@ def q_doc_dup_ngram_stats(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _batch_gram_pos_rows(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Like ``_batch_gram_rows`` but keeps POSITIONS: returns
+    (gram_ids, doc_ix, pos_offsets, positions) where doc/gram pairs are
+    distinct and ``positions[pos_offsets[k]:pos_offsets[k+1]]`` lists the
+    0-based in-doc gram start positions of pair k (sorted)."""
+    tok_lists = [_tokens(t) for t in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    n = len(texts)
+    total = int(counts.sum())
+    z = np.zeros(0, np.int64)
+    if total < NGRAM_N:
+        return np.zeros(0, np.uint64), z, np.zeros(1, np.int64), z
+    flat = np.empty(total, dtype=object)
+    flat[:] = [w for ws in tok_lists for w in ws]
+    h = pd.util.hash_array(flat).astype(np.uint64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    g_all = _gram_ids(h)
+    valid = doc[:len(g_all)] == doc[NGRAM_N - 1:]
+    g, gdoc = g_all[valid], doc[:len(g_all)][valid]
+    if not len(g):
+        return np.zeros(0, np.uint64), z, np.zeros(1, np.int64), z
+    # 0-based position within the doc = global index - doc start
+    starts_of_doc = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    gpos = np.flatnonzero(valid) - starts_of_doc[gdoc]
+    order = np.lexsort((gpos, g, gdoc))
+    gs, ds, ps = g[order], gdoc[order], gpos[order]
+    new = np.concatenate([[True], (ds[1:] != ds[:-1]) | (gs[1:] != gs[:-1])])
+    starts = np.flatnonzero(new)
+    offsets = np.concatenate([starts, [len(gs)]]).astype(np.int64)
+    return gs[new], ds[new], offsets, ps
+
+
+def q_doc_dedup_ngram_corpus(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
+    """Substring-level dedup REMOVAL pass (the rewrite step of Lee et
+    al.): every token covered by a cross-document duplicated 8-gram
+    occurrence is dropped, and each document is re-emitted as its cleaned
+    token sequence.  Output per document (all documents, including
+    untouched ones): (doc_id, n_tokens, n_removed, cleaned_md5) where
+    ``cleaned_md5`` digests the space-joined surviving tokens.
+
+    Scale shape: the gram pass ships distinct (gram, doc, positions[])
+    rows through ONE coarse gram-shard shuffle; shard tasks keep grams in
+    >= ``min_docs`` distinct docs and emit (doc, positions[]) rows; a
+    doc-keyed groupby folds them into one covered-interval list per doc;
+    and a LEFT OUTER hash join brings the (sparse) removal lists to the
+    documents table, where the rewrite is a per-doc vectorized interval
+    union (diff-array cumsum, no per-token Python loop).  Docs without
+    duplicated grams take the join's null branch and pass through
+    untouched."""
+    from ..sources.scale import join_width, shuffle_width, table_num_rows
+
+    n_rows = table_num_rows(sf_dir, "documents")
+    n_shards = shuffle_width(n_rows=n_rows,
+                             rows_per_shard=LSH_ROWS_PER_SHARD)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        g, dix, offs, pos = _batch_gram_pos_rows(texts)
+        shard = ((g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)
+                 ).astype(np.int64) % n_shards
+        return pa.table({
+            "shard": pa.array(shard.astype(np.int32)),
+            "gram": pa.array(g),
+            "gdoc_id": pa.array(ids[dix]),
+            "positions": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(pos, pa.int64())),
+        })
+
+    def dup_positions(g: pd.DataFrame) -> pa.Table:
+        gr = g["gram"].to_numpy()
+        order = np.argsort(gr, kind="mergesort")
+        gs = gr[order]
+        new = np.concatenate([[True], gs[1:] != gs[:-1]])
+        sizes = np.diff(np.concatenate([np.flatnonzero(new), [len(gs)]]))
+        keep = np.repeat(sizes >= min_docs, sizes)
+        kept = g.iloc[order[keep]]
+        pos = pa.array(kept["positions"].tolist(),
+                       pa.list_(pa.int64()))
+        return pa.table({
+            "gdoc_id": pa.array(kept["gdoc_id"].to_numpy(), pa.int64()),
+            "positions": pos,
+        })
+
+    def fold_doc(g: pd.DataFrame) -> pa.Table:
+        out_ids: list[int] = []
+        out_pos: list[list[int]] = []
+        for doc, grp in g.groupby("gdoc_id", sort=True)["positions"]:
+            out_ids.append(int(doc))
+            # int64-LE blob: Acero's hash join (under Dataset.join)
+            # rejects list-typed payload columns, so the positions ride
+            # through the join as bytes
+            out_pos.append(np.sort(np.concatenate(
+                [np.asarray(p, np.int64) for p in grp])).tobytes())
+        return pa.table({
+            "gdoc_id": pa.array(out_ids, pa.int64()),
+            "positions_blob": pa.array(out_pos, pa.binary()),
+        })
+
+    removals = (read_table(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(gram_rows, batch_format="pyarrow",
+                             batch_size=4096)
+                .groupby("shard").map_groups(dup_positions,
+                                             batch_format="pandas")
+                .groupby("gdoc_id").map_groups(fold_doc,
+                                               batch_format="pandas"))
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    joined = docs.join(removals, join_type="left_outer",
+                       num_partitions=join_width(n_rows),
+                       on=("doc_id",), right_on=("gdoc_id",))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = t.column("text").to_pylist()
+        plists = [np.frombuffer(b, np.int64) if b is not None else None
+                  for b in t.column("positions_blob").to_pylist()]
+        n_tok = np.zeros(len(texts), np.int64)
+        n_rem = np.zeros(len(texts), np.int64)
+        digests = []
+        for i, (text, plist) in enumerate(zip(texts, plists)):
+            toks = _tokens(text)
+            n_tok[i] = len(toks)
+            if plist is not None and len(plist):
+                # interval union via diff-array cumsum
+                diff = np.zeros(len(toks) + NGRAM_N + 1, np.int64)
+                p = plist
+                np.add.at(diff, p, 1)
+                np.add.at(diff, p + NGRAM_N, -1)
+                covered = np.cumsum(diff[:len(toks)]) > 0
+                n_rem[i] = int(covered.sum())
+                kept = [w for w, c in zip(toks, covered) if not c]
+            else:
+                kept = toks
+            digests.append(hashlib.md5(
+                " ".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_removed": pa.array(n_rem),
+            "cleaned_md5": pa.array(digests, pa.string()),
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow",
+                              batch_size=4096)

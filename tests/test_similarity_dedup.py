@@ -207,3 +207,33 @@ def test_dup_ngram_stats_small(ray_session):
         assert out["n_ngrams"].tolist() == [2, 1, 2, 0]
         assert out["n_dup_ngrams"].tolist() == [1, 1, 0, 0]
         assert out["dup_ratio"].tolist() == [0.5, 1.0, 0.0, 0.0]
+
+
+def test_dedup_ngram_corpus_small(ray_session, tmp_path):
+    """Removal pass over a tiny corpus, hand-checked: covered tokens
+    dropped, untouched docs pass through byte-identically."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.dedup import (
+        q_doc_dedup_ngram_corpus)
+
+    shared = "w0 w1 w2 w3 w4 w5 w6 w7"          # one duplicated 8-gram
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "pre " + shared + " post",   # covered: the 8 shared tokens
+            shared,                      # fully covered -> empty cleaned
+            "u0 u1 u2 u3 u4 u5 u6 u7",   # unique gram -> untouched
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (q_doc_dedup_ngram_corpus(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [10, 8, 8]
+    assert out["n_removed"].tolist() == [8, 8, 0]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out["cleaned_md5"].tolist() == [
+        md5("pre post"), md5(""), md5("u0 u1 u2 u3 u4 u5 u6 u7")]
