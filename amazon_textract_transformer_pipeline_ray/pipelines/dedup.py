@@ -958,6 +958,10 @@ def q_doc_dedup_ngram_corpus(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
     def rewrite(t: pa.Table) -> pa.Table:
         import hashlib
 
+        if "doc_id" not in t.column_names:  # empty-schema join partition
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_tokens": z, "n_removed": z,
+                             "cleaned_md5": pa.array([], pa.string())})
         texts = t.column("text").to_pylist()
         plists = [np.frombuffer(b, np.int64) if b is not None else None
                   for b in t.column("positions_blob").to_pylist()]
