@@ -238,3 +238,48 @@ def test_greedy_pack_invariants(rows, budget):
         firsts = np.flatnonzero(np.diff(p) == 1) + 1
         for f in firsts:
             assert sums[p[f] - 1] + t[f] > budget
+
+
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=0, max_size=24)
+                .map(lambda ws: " ".join(ws)),
+                min_size=1, max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_batch_gram_kernels_vs_naive(texts):
+    """_batch_gram_rows / _batch_gram_pos_rows match a naive per-doc
+    n-gram scan (tiny alphabet forces heavy cross-doc collisions)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.dedup import (
+        NGRAM_N, _batch_gram_pos_rows, _batch_gram_rows, _tokens)
+
+    def naive(texts):
+        # (doc, gram-tuple) -> sorted positions
+        out = {}
+        totals = []
+        for d, t in enumerate(texts):
+            toks = _tokens(t)
+            totals.append(max(len(toks) - NGRAM_N + 1, 0))
+            for p in range(max(len(toks) - NGRAM_N + 1, 0)):
+                out.setdefault((d, tuple(toks[p:p + NGRAM_N])),
+                               []).append(p)
+        return out, totals
+
+    expected, exp_totals = naive(texts)
+
+    g, dix, npos, tot = _batch_gram_rows(texts)
+    assert tot.tolist() == exp_totals
+    assert len(g) == len(expected)
+    # position-count multiset per doc matches
+    import collections
+
+    got_counts = collections.Counter(zip(dix.tolist(), npos.tolist()))
+    exp_counts = collections.Counter(
+        (d, len(ps)) for (d, _), ps in expected.items())
+    assert got_counts == exp_counts
+
+    g2, dix2, offs, pos = _batch_gram_pos_rows(texts)
+    assert len(g2) == len(expected)
+    got_pos = collections.Counter(
+        (d, tuple(pos[offs[k]:offs[k + 1]].tolist()))
+        for k, d in enumerate(dix2.tolist()))
+    exp_pos = collections.Counter(
+        (d, tuple(sorted(ps))) for (d, _), ps in expected.items())
+    assert got_pos == exp_pos
