@@ -438,6 +438,15 @@ def _w_media_bundle_roundtrip(sf_dir: str):
     return multimodal.q_media_bundle_roundtrip(sf_dir)
 
 
+def _w_media_y4m_roundtrip(sf_dir: str):
+    """Real-YUV4MPEG2 video pipeline (SQL-checked against an
+    independent loop-style Y4M parse, oracle_fixture_aux.py)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
+
+    _aux(sf_dir, "media_y4m")
+    return multimodal.q_media_y4m_roundtrip(sf_dir)
+
+
 def _w_media_png_roundtrip(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
 
@@ -534,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bundle_roundtrip": _w_media_bundle_roundtrip,  # SQL-checked
         "media_png_roundtrip": _w_media_png_roundtrip,  # SQL-checked
         "media_wav_roundtrip": _w_media_wav_roundtrip,  # SQL-checked
+        "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
         # (independent stdlib-wave fixture)
         # --- external-API source (S5): paginated NextToken-linked chunk
         # files -> custom Datasource merge -> parser; oracle reads the
@@ -684,6 +694,8 @@ def _sql_registry() -> dict[str, str]:
             f"SELECT * FROM {aux.format(name='media_features')}",
         "media_wav_roundtrip":
             f"SELECT * FROM {aux.format(name='media_wav')}",
+        "media_y4m_roundtrip":
+            f"SELECT * FROM {aux.format(name='media_y4m')}",
         "media_frame_pipeline":
             f"SELECT * FROM {aux.format(name='media_frames')}",
         "media_bundle_roundtrip":

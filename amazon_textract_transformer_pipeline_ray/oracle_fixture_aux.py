@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 
 AUX_ROOT = "/tmp/attp_oracle_aux"
 AUX_CURRENT = os.path.join(AUX_ROOT, "current")
-AUX_VERSION = 1
+AUX_VERSION = 2
 
 # Rabin-Karp spec constants (pipelines/text.py):
 _RH_BASE = 257
@@ -426,6 +426,53 @@ def _expected_media_wav(sf_dir: str) -> pa.Table:
                                decode_vals)
 
 
+def _y4m_parse_loop(payload: bytes) -> np.ndarray:
+    """Independent loop-style YUV4MPEG2 parse (not functions/y4m.py):
+    header token scan, per-frame per-plane reads."""
+    header, rest = payload.split(b"\n", 1)
+    assert header.startswith(b"YUV4MPEG2")
+    w = h = None
+    for tok in header.split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            assert tok == b"C444"
+    frames = []
+    pos = 0
+    plane = w * h
+    while pos < len(rest):
+        assert rest[pos:pos + 5] == b"FRAME"
+        start = rest.index(b"\n", pos) + 1
+        frame = np.empty((h, w, 3), np.uint8)
+        for ch in range(3):
+            raw = rest[start + ch * plane:start + (ch + 1) * plane]
+            frame[:, :, ch] = np.frombuffer(raw, np.uint8).reshape(h, w)
+        frames.append(frame)
+        pos = start + 3 * plane
+    return np.stack(frames)
+
+
+def _expected_media_y4m(sf_dir: str) -> pa.Table:
+    """Independent Y4M parse + float64 feature reductions over the video
+    rows of the real-codec media fixture (mirrors _expected_media_wav:
+    input shared, parsing and reductions independent)."""
+    from .pipelines.multimodal import gen_media_table
+
+    table = gen_media_table(_media_n(sf_dir), video_codec="y4m")
+    keep = [i for i, k in enumerate(table.column("kind").to_pylist())
+            if k == "video"]
+    table = table.take(keep)
+
+    def decode_vals(payload: bytes):
+        return "video", _y4m_parse_loop(payload).astype(np.float64)
+
+    return _media_feature_rows(table.column("payload").to_pylist(),
+                               table.column("media_id").to_pylist(),
+                               decode_vals)
+
+
 def _expected_knn_ivf(sf_dir: str) -> pa.Table:
     """Single-process IVF top-k: the coarse centroid MODEL is imported
     as spec (``ivf_centroids`` is a bit-deterministic sample fit, like
@@ -728,6 +775,7 @@ def _builders() -> dict:
         "media_bundle": _expected_media_bundle,
         "media_frames": _expected_media_frames,
         "media_png": _expected_media_png,
+        "media_y4m": _expected_media_y4m,
     }
 
 

@@ -65,12 +65,15 @@ def encode_fake(kind: str, rng: np.random.Generator) -> tuple[bytes, dict]:
 
 def gen_media_table(n: int, seed: int = 20260817,
                     image_codec: str = "fake",
-                    audio_codec: str = "fake") -> pa.Table:
+                    audio_codec: str = "fake",
+                    video_codec: str = "fake") -> pa.Table:
     """Deterministic media fixture table.  ``image_codec="png"`` encodes
     the image rows as REAL PNG files (same pixel content, real
     container) via functions/png.py; ``audio_codec="wav"`` encodes the
     audio rows as REAL RIFF/PCM16 files (same sample content) via
-    functions/wav.py."""
+    functions/wav.py; ``video_codec="y4m"`` encodes the video rows as
+    REAL YUV4MPEG2 streams (same frame content, C444 planar) via
+    functions/y4m.py."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -88,6 +91,11 @@ def gen_media_table(n: int, seed: int = 20260817,
             body = np.frombuffer(payload[26:], dtype=np.uint8)
             pcm = ((body.astype(np.int32) - 128) * 256).astype(np.int16)
             payload = encode_wav(pcm, meta["sample_rate"])
+        elif kind == "video" and video_codec == "y4m":
+            from ..functions.y4m import encode_y4m
+
+            _, arr = decode_fake(payload)
+            payload = encode_y4m(arr)
         rows.append({"media_id": i, "kind": kind, "payload": payload, **meta})
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
@@ -108,15 +116,18 @@ def decode_fake(payload: bytes) -> tuple[str, np.ndarray]:
 
 def decode_auto(payload: bytes) -> tuple[str, np.ndarray]:
     """Container-sniffing decode: real PNG (functions/png.py), real WAV
-    (functions/wav.py) or the deterministic FAKE1 container — all three
-    mix freely in one column."""
+    (functions/wav.py), real Y4M video (functions/y4m.py) or the
+    deterministic FAKE1 container — all four mix freely in one column."""
     from ..functions.png import PNG_SIGNATURE, decode_png
     from ..functions.wav import WAV_SIGNATURE, decode_wav, wav_to_float
+    from ..functions.y4m import Y4M_SIGNATURE, decode_y4m
 
     if payload.startswith(PNG_SIGNATURE):
         return "image", decode_png(payload)
     if payload.startswith(WAV_SIGNATURE):
         return "audio", wav_to_float(decode_wav(payload)[0])
+    if payload.startswith(Y4M_SIGNATURE):
+        return "video", decode_y4m(payload)
     return decode_fake(payload)
 
 
@@ -140,13 +151,18 @@ def decode_real(payload: bytes) -> tuple[str, np.ndarray]:
             return "image", decode_png(payload)
     if payload.startswith(WAV_SIGNATURE):
         return "audio", wav_to_float(decode_wav(payload)[0])
-    try:  # pragma: no cover - container lacks video codecs
+    from ..functions.y4m import Y4M_SIGNATURE, decode_y4m
+
+    if payload.startswith(Y4M_SIGNATURE):
+        return "video", decode_y4m(payload)
+    try:  # pragma: no cover - container lacks compressed-video codecs
         import av  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "Video codecs are not installed in this environment; still "
-            "images use the real PNG codec, audio the real WAV codec, "
-            "video runs on the deterministic FAKE1 container instead."
+            "No codec for this container: images decode via the real PNG "
+            "codec, audio via the real WAV codec, video via the real "
+            "YUV4MPEG2 codec (functions/y4m.py); COMPRESSED video "
+            "(h264/vp9/...) has no codec in this environment."
         ) from e
     raise NotImplementedError("wire av decode here")  # pragma: no cover
 
@@ -230,8 +246,9 @@ class ImageResize:
 
 
 class VideoFrameSample:
-    """Actor-pool stage: sample every k-th frame of fake videos into
-    image rows (flat-map: one video -> several image rows)."""
+    """Actor-pool stage: sample every k-th frame of a video (FAKE1 or
+    real Y4M container) into image rows (flat-map: one video -> several
+    image rows)."""
 
     def __init__(self, every: int = 4):
         self.every = every
@@ -241,7 +258,7 @@ class VideoFrameSample:
         for row in batch.to_pylist():
             if row["kind"] != "video":
                 continue
-            _, arr = decode_fake(row["payload"])
+            _, arr = decode_auto(row["payload"])
             for fi in range(0, arr.shape[0], self.every):
                 frame = arr[fi]
                 h, w, c = frame.shape
@@ -399,6 +416,31 @@ def q_media_wav_roundtrip(sf_dir: str) -> pd.DataFrame:
     # every 3rd row of the fixture is audio; keep only those:
     table = gen_media_table(n, audio_codec="wav")
     table = table.filter(pa.compute.equal(table.column("kind"), "audio"))
+    ds = rd.from_arrow(table)
+    feats = ds.map_batches(
+        MediaFeatures, fn_constructor_kwargs={"use_real_codec": True},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
+    return feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_y4m_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """REAL-codec video pipeline: YUV4MPEG2 payloads (pure stdlib+numpy
+    codec, functions/y4m.py) -> feature stage under
+    ``use_real_codec=True`` — no fake containers on this path; the
+    independent oracle re-parses the streams with its own loop-style
+    Y4M reader."""
+    import os
+
+    sf = 0.01
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        pass
+    n = max(60, int(6000 * sf))
+    # every 3rd row of the fixture is video; keep only those:
+    table = gen_media_table(n, video_codec="y4m")
+    table = table.filter(pa.compute.equal(table.column("kind"), "video"))
     ds = rd.from_arrow(table)
     feats = ds.map_batches(
         MediaFeatures, fn_constructor_kwargs={"use_real_codec": True},

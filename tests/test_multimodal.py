@@ -154,15 +154,15 @@ def test_decode_auto_mixes_png_and_fake():
     a = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
     kind, arr_png = decode_auto(encode_png(a))
     assert kind == "image" and np.array_equal(arr_png, a)
-    # decode_real: PNG and WAV are real codec paths (no PIL in this
-    # container); FAKE1 audio/video raises the documented residual
-    # video-stub error
+    # decode_real: PNG, WAV and Y4M are real codec paths (no PIL in
+    # this container); a FAKE1 payload raises the documented
+    # no-codec-for-this-container error
     kind, arr_real = decode_real(encode_png(a))
     assert np.array_equal(arr_real, a)
     audio_payload, _ = encode_fake("audio", np.random.default_rng(4))
     import pytest as pt
 
-    with pt.raises(NotImplementedError, match="Video codecs"):
+    with pt.raises(NotImplementedError, match="No codec for this"):
         decode_real(audio_payload)
 
 
@@ -273,3 +273,68 @@ def test_media_table_wav_codec_and_query(ray_session):
     assert len(df) == 20  # every 3rd of max(60, ...) rows is audio
     assert set(df["kind"]) == {"audio"}
     assert (df["n_bytes"] > 44).all()
+
+
+def test_y4m_codec_roundtrip():
+    """Y4M encode/decode is byte-lossless both ways, and rejects
+    malformed streams."""
+    import numpy as np
+    import pytest
+
+    from amazon_textract_transformer_pipeline_ray.functions.y4m import (
+        Y4M_SIGNATURE, decode_y4m, encode_y4m)
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (6, 19, 31, 3), dtype=np.uint8)
+    blob = encode_y4m(frames)
+    assert blob.startswith(Y4M_SIGNATURE)
+    back = decode_y4m(blob)
+    assert back.dtype == np.uint8 and (back == frames).all()
+    assert encode_y4m(back) == blob
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + b"\0" * 6)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(blob[:-1])
+
+
+def test_y4m_fixture_and_real_decode(ray_session):
+    """video_codec="y4m" fixture rows carry the same frame content as the
+    FAKE1 source, and both decode_auto and decode_real read them."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.multimodal import (
+        decode_auto, decode_fake, decode_real, gen_media_table)
+
+    fake = gen_media_table(9)
+    real = gen_media_table(9, video_codec="y4m")
+    for i, kind in enumerate(real.column("kind").to_pylist()):
+        if kind != "video":
+            continue
+        src = fake.column("payload").to_pylist()[i]
+        y4m = real.column("payload").to_pylist()[i]
+        _, expect = decode_fake(src)
+        for dec in (decode_auto, decode_real):
+            k, arr = dec(y4m)
+            assert k == "video" and (arr == expect).all()
+
+
+def test_y4m_frame_sample_matches_fake(ray_session):
+    """VideoFrameSample over Y4M videos emits the same frames as over the
+    FAKE1 originals."""
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.multimodal import (
+        VideoFrameSample, gen_media_table)
+
+    def sampled(table):
+        ds = rd.from_arrow(table).map_batches(
+            VideoFrameSample, batch_format="pyarrow", batch_size=8,
+            concurrency=(1, 2))
+        return (ds.to_pandas().sort_values("media_id")
+                .reset_index(drop=True))
+
+    a = sampled(gen_media_table(12))
+    b = sampled(gen_media_table(12, video_codec="y4m"))
+    assert a.equals(b)
