@@ -17,7 +17,10 @@ the same inputs/config skips complete partitions), ``summary`` (print a
 finished run's manifest rollup), ``eval`` (classifier metrics vs gold
 hints), ``normalize`` (post-hoc normalizer actor-pool pass over a
 finished run's turns table), ``export`` (training-data tables via the
-mlm/ner/seq2seq task registry).  This module owns the Ray session
+mlm/ner/seq2seq task registry, ``--pack-budget`` for the greedy packed
+table), ``dedup`` (exact / near-dup-cluster / survivor-corpus /
+duplicated-n-gram detection and removal passes over a documents
+table).  This module owns the Ray session
 (guarded init); library code never calls ray.init.
 """
 
@@ -68,6 +71,21 @@ def main(argv: list[str] | None = None) -> int:
     norm.add_argument("--dest", required=True,
                       help="destination directory for normalized turns")
     norm.add_argument("--config", help="EngineConfig JSON file (optional)")
+
+    dd = sub.add_parser(
+        "dedup",
+        help="run a dedup pass over a directory's documents.parquet")
+    dd.add_argument("--table-dir", required=True,
+                    help="directory holding documents.parquet")
+    dd.add_argument("--dest", required=True, help="destination directory")
+    dd.add_argument("--mode", default="exact",
+                    choices=("exact", "clusters", "survivors",
+                             "ngram-stats", "ngram-remove"),
+                    help="exact = md5 groups; clusters = near-dup "
+                         "connected components; survivors = kept docs "
+                         "after cluster dedup; ngram-stats / ngram-remove "
+                         "= substring-level duplicated-8-gram detection / "
+                         "removal")
 
     exp = sub.add_parser(
         "export", help="write a training-data table (task registry)")
@@ -129,6 +147,36 @@ def main(argv: list[str] | None = None) -> int:
         out.write_parquet(args.dest)
         # count from the written files (no pipeline re-execution):
         print(json.dumps({"rows": rd.read_parquet(args.dest).count(),
+                          "dest": args.dest}))
+        return 0
+
+    if args.cmd == "dedup":
+        import ray.data as rd
+
+        from .pipelines import dedup as dd_mod
+        from .pipelines import graph as graph_mod
+        from .pipelines import text as text_mod
+
+        builders = {
+            "exact": text_mod.q_doc_dedup_exact,
+            "clusters": graph_mod.q_jaccard_dedup_clusters,
+            "survivors": graph_mod.q_doc_dedup_near_corpus,
+            "ngram-stats": dd_mod.q_doc_dup_ngram_stats,
+            "ngram-remove": dd_mod.q_doc_dedup_ngram_corpus,
+        }
+        result = builders[args.mode](args.table_dir)
+        if isinstance(result, rd.Dataset):
+            result.write_parquet(args.dest)
+        else:  # pandas driver view (clusters)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(args.dest, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(result,
+                                                preserve_index=False),
+                           os.path.join(args.dest, "part-00000.parquet"))
+        print(json.dumps({"mode": args.mode,
+                          "rows": rd.read_parquet(args.dest).count(),
                           "dest": args.dest}))
         return 0
 

@@ -97,3 +97,29 @@ def test_cli_export_packed(ray_session, tmp_path, capsys):
     windows = pd.read_parquet(dest)
     assert packed["n_windows"].sum() == len(windows)
     assert packed["n_tokens"].sum() == windows["n_tokens"].sum()
+
+
+def test_cli_dedup_modes(ray_session, tmp_path, capsys):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "w0 w1 w2 w3 w4 w5 w6 w7"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([shared + " tail", shared, "something else here"]),
+    })
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    pq.write_table(docs, str(table_dir / "documents.parquet"))
+
+    expect_rows = {"exact": 3, "clusters": 3, "survivors": 3,
+                   "ngram-stats": 3, "ngram-remove": 3}
+    for mode, n in expect_rows.items():
+        dest = str(tmp_path / f"out_{mode.replace('-', '_')}")
+        assert main(["dedup", "--table-dir", str(table_dir),
+                     "--dest", dest, "--mode", mode]) == 0
+        r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert r["rows"] == n and r["mode"] == mode
+    stats = pd.read_parquet(str(tmp_path / "out_ngram_stats"))
+    assert stats.sort_values("doc_id")["n_dup_ngrams"].tolist() == [1, 1, 0]
