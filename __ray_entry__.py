@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus,
         dedup,
         events,
+        filtering,
         graph,
         multimodal,
         relational,
@@ -512,6 +513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.q_doc_quality,
         "doc_length_quantiles": text.q_doc_length_quantiles,
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
+        "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
+        "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
         # --- dedup suite (SQL-checked: DuckDB directly where expressible,
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
@@ -604,6 +607,9 @@ def _sql_registry() -> dict[str, str]:
     stop_list = ", ".join(
         f"'{w}'" for w in
         ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"))
+    # PII patterns shared verbatim with the engine (both sides run RE2):
+    from amazon_textract_transformer_pipeline_ray.pipelines.filtering import (
+        PII_EMAIL, PII_IPV4, PII_PHONE)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -916,6 +922,74 @@ def _sql_registry() -> dict[str, str]:
                            / CAST(len(toks) AS DOUBLE)
                    END AS mean_token_len
             FROM t
+        """,
+        "doc_pii_scrub": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{PII_IPV4}'))
+                        AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{PII_PHONE}'))
+                        AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+                        + len(regexp_extract_all(text, '{PII_IPV4}'))
+                        + len(regexp_extract_all(text, '{PII_PHONE}'))
+                        AS BIGINT) AS pii_total,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_IPV4}', '[IP]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g')) AS scrub_md5
+            FROM documents
+        """,
+        "doc_gopher_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks
+                FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+            wtop AS (SELECT doc_id, MAX(c) AS top_w, COUNT(*) AS uniq
+                     FROM wc GROUP BY 1),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(
+                              generate_series(1, len(toks) - 1),
+                              i -> toks[i] || chr(1) || toks[i + 1])) AS b
+                   FROM t WHERE len(toks) >= 2),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            btop AS (SELECT doc_id, MAX(c) AS top_b FROM bc GROUP BY 1),
+            sig AS (
+                SELECT t.doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                           CAST(list_aggregate(list_transform(toks,
+                                    x -> length(x)), 'sum') AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                       END AS mean_word_len,
+                       CAST(COALESCE(wtop.uniq, 0) AS BIGINT)
+                           AS n_unique_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                           CAST(COALESCE(wtop.uniq, 0) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                       END AS type_token_ratio,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                           CAST(COALESCE(wtop.top_w, 0) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                       END AS top_word_frac,
+                       CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+                           CAST(COALESCE(btop.top_b, 0) AS DOUBLE)
+                               / CAST(len(toks) - 1 AS DOUBLE)
+                       END AS top_bigram_frac
+                FROM t
+                LEFT JOIN wtop ON wtop.doc_id = t.doc_id
+                LEFT JOIN btop ON btop.doc_id = t.doc_id)
+            SELECT *,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3.0 AND 10.0
+                        AND top_word_frac <= 0.20
+                        AND top_bigram_frac <= 0.10 AS BIGINT) AS keep
+            FROM sig
         """,
         "jaccard_dup_pairs": """
             WITH tok AS (
