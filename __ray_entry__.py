@@ -457,6 +457,7 @@ def _w_media_png_roundtrip(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from amazon_textract_transformer_pipeline_ray.pipelines import (
         corpus,
+        decontam,
         dedup,
         events,
         filtering,
@@ -522,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_near_corpus": graph.q_doc_dedup_near_corpus,
         "doc_dup_ngram_stats": dedup.q_doc_dup_ngram_stats,
         "doc_dedup_ngram_corpus": dedup.q_doc_dedup_ngram_corpus,
+        "doc_decontaminate": decontam.q_doc_decontaminate,
+        "doc_decontaminate_shuffled": decontam.q_doc_decontaminate_shuffled,
         "minhash_lsh_pairs": _w_minhash_lsh_pairs,
         "simhash": _w_simhash,
         "simhash_pairs": _w_simhash_pairs,
@@ -610,6 +613,8 @@ def _sql_registry() -> dict[str, str]:
     # PII patterns shared verbatim with the engine (both sides run RE2):
     from amazon_textract_transformer_pipeline_ray.pipelines.filtering import (
         PII_EMAIL, PII_IPV4, PII_PHONE)
+    from amazon_textract_transformer_pipeline_ray.pipelines.decontam import (
+        DECONTAM_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1168,6 +1173,10 @@ def _sql_registry() -> dict[str, str]:
                    CAST(SUM(c) AS DOUBLE) / 100.0 AS sum_value
             FROM w GROUP BY window_start
         """,
+        # both decontamination plans produce identical tables, so they
+        # share one oracle (broadcast vs shuffle is a physical choice):
+        "doc_decontaminate": DECONTAM_SQL,
+        "doc_decontaminate_shuffled": DECONTAM_SQL,
         "doc_train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
