@@ -502,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus management (SQL-checked) ---
         "doc_train_test_split": corpus.q_doc_train_test_split,
         "doc_sample_stratified": corpus.q_doc_sample_stratified,
+        "doc_domain_mix": corpus.q_doc_domain_mix,  # SQL-checked
         "activity_union": corpus.q_activity_union,
         # --- text analysis (SQL-checked unless noted) ---
         "doc_stats_by_lang": text.q_doc_stats_by_lang,
@@ -615,6 +616,8 @@ def _sql_registry() -> dict[str, str]:
         PII_EMAIL, PII_IPV4, PII_PHONE)
     from amazon_textract_transformer_pipeline_ray.pipelines.decontam import (
         DECONTAM_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
+        DOMAIN_MIX_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1177,6 +1180,7 @@ def _sql_registry() -> dict[str, str]:
         # share one oracle (broadcast vs shuffle is a physical choice):
         "doc_decontaminate": DECONTAM_SQL,
         "doc_decontaminate_shuffled": DECONTAM_SQL,
+        "doc_domain_mix": DOMAIN_MIX_SQL,
         "doc_train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'

@@ -125,3 +125,96 @@ def q_activity_union(sf_dir: str) -> rd.Dataset:
         })
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Domain mixture resampling (data mixing): downsample each source domain
+# so the selected subcorpus follows target mixture weights — the
+# "sampling proportions" knob of every LLM pretraining recipe (e.g. the
+# domain-weighted mixtures of Brown et al. 2020 table 2.2, public paper).
+
+def _domain_weight(source: str) -> float:
+    """Deterministic target weight per source domain (srcN -> N%4+1) —
+    a stand-in for the user-supplied mixture table, chosen to be
+    SQL-expressible so the oracle can recompute it."""
+    try:
+        return float(int(source[3:]) % 4 + 1)
+    except (ValueError, IndexError):
+        return 1.0
+
+
+def q_doc_domain_mix(sf_dir: str) -> rd.Dataset:
+    """Deterministic mixture resampling: select docs per source at rate
+    ``w_s * K / n_s`` with ``K = min_s(n_s / w_s)`` — the largest total
+    that achieves the target proportions without oversampling any
+    domain.  Output: (doc_id, source, selected).
+
+    Scale shape: one SMALL groupby for per-source counts (pre-reduced
+    per batch; result is #domains rows on the driver), thresholds
+    broadcast as an md5-hex-prefix cutoff per source, then a single
+    streaming ``map_batches`` accept pass — the same hash filter as the
+    split/sample operators above: the per-doc hash is stable under
+    corpus growth, so selections move only where the recomputed rates
+    move the per-source threshold, never by reshuffling.
+
+    Threshold convention: doc accepted iff md5(doc_id)[:8] < thr_hex
+    where ``thr_hex = printf('%08x', floor(rate * 16^8))`` (rate >= 1
+    uses the sentinel 'g', lexicographically above every hex digest) —
+    string comparison on fixed-width lowercase hex IS the numeric
+    comparison, in numpy and DuckDB alike."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch.column("source").to_pylist()})
+        g = df.groupby("source", as_index=False).agg(p_n=("source", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("source").aggregate(Sum("p_n", alias_name="n"))
+              .to_pandas())  # #domains rows — post-reduction materialization
+    w = counts["source"].map(_domain_weight).to_numpy(dtype=np.float64)
+    n = counts["n"].to_numpy(dtype=np.float64)
+    k = float(np.min(n / w))
+    rates = w * k / n
+    thr = {
+        s: "g" if r >= 1.0 else format(int(np.floor(r * 16 ** 8)), "08x")
+        for s, r in zip(counts["source"], rates)
+    }
+
+    def select(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        pref = [hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8]
+                for i in ids]
+        sel = np.fromiter(
+            (p < thr.get(s, "00000000") for p, s in zip(pref, srcs)),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "selected": pa.array(sel),
+        })
+
+    return ds.map_batches(select, batch_format="pyarrow", batch_size=65536)
+
+
+DOMAIN_MIX_SQL = r"""
+    WITH cnt AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+        FROM documents GROUP BY source),
+    k AS (SELECT MIN(n / w) AS k FROM cnt),
+    thr AS (
+        SELECT source,
+               CASE WHEN (w * k.k) / n >= 1.0 THEN 'g'
+                    ELSE printf('%08x', CAST(floor(
+                        (w * k.k) / n * 4294967296.0) AS BIGINT))
+               END AS thr_hex
+        FROM cnt, k)
+    SELECT d.doc_id, d.source,
+           CAST(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+                AS BIGINT) AS selected
+    FROM documents d JOIN thr t USING (source)
+"""
