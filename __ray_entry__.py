@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         multimodal,
         relational,
+        scoring,
         similarity,
         text,
     )
@@ -517,6 +518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
         "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
         "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
+        "doc_lm_score": scoring.q_doc_lm_score,  # SQL-checked
+        "doc_lm_score_shuffled": scoring.q_doc_lm_score_shuffled,  # SQL-checked
         # --- dedup suite (SQL-checked: DuckDB directly where expressible,
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
@@ -618,6 +621,8 @@ def _sql_registry() -> dict[str, str]:
         DECONTAM_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
         DOMAIN_MIX_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        LM_SCORE_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1178,6 +1183,9 @@ def _sql_registry() -> dict[str, str]:
         """,
         # both decontamination plans produce identical tables, so they
         # share one oracle (broadcast vs shuffle is a physical choice):
+        # both LM-score plans produce identical tables -> shared oracle:
+        "doc_lm_score": LM_SCORE_SQL,
+        "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,
         "doc_decontaminate_shuffled": DECONTAM_SQL,
         "doc_domain_mix": DOMAIN_MIX_SQL,

@@ -1,0 +1,233 @@
+"""Language-model quality scoring over the ``documents`` table: per-doc
+cross-entropy under a corpus-fit unigram model — the CCNet-style
+"perplexity bucket" signal (Wenzek et al. 2020, public paper) with the
+external KenLM replaced by a self-fit unigram LM (no model deps).
+
+Per document: ``lm_bits = -(1/n_d) * sum_positions log2 p(w)`` where
+``p(w) = N_w / N`` (corpus unigram MLE).  Low bits = typical text,
+high bits = rare-token soup — the filter keeps a middle band in a real
+pipeline; here we emit the raw signal.
+
+Two physical plans, identical results, one SQL oracle:
+
+* ``q_doc_lm_score`` — BROADCAST plan: distributed token-count groupby
+  reduced to (vocab, counts) arrays on the driver (vocabularies are
+  sublinear in corpus size — tens of millions of types at web scale,
+  a few hundred MB — the same small-side bound as the dedup suite's
+  exact variants), ``ray.put`` once, then one streaming scoring pass
+  with a vectorized ``searchsorted`` probe.
+* ``q_doc_lm_score_shuffled`` — BOTH-SIDES-BIG twin: distinct
+  (doc, token, count) rows through ONE coarse token-shard shuffle
+  (hashed token ids, not strings, ship through the exchange); every
+  row of a token lands in the same shard, so per-token totals are
+  computed in-shard with no second pass; per-doc partials then fold
+  through the union-with-zeros groupby(doc_id).  The only driver state
+  is the grand-total scalar N.
+
+Float convention: the per-doc sum is order-sensitive, so the final
+column is f32 (``REAL`` in the oracle) per the repo convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..sources.scale import shuffle_width, table_num_rows
+from ..sources.tables import broadcast, read_table
+from .dedup import LSH_ROWS_PER_SHARD, _tokens
+
+
+def _batch_doc_token_counts(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (doc, token) pairs for a batch: returns
+    (tokens_obj, doc_ix, counts, n_tokens_per_doc) — one factorize-free
+    lexsort pass, no per-doc Python loop."""
+    tok_lists = [_tokens(t) for t in texts]
+    n = len(texts)
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if not total:
+        z = np.zeros(0, np.int64)
+        return np.empty(0, object), z, z, lens
+    flat = np.empty(total, dtype=object)
+    flat[:] = [w for ws in tok_lists for w in ws]
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(flat)
+    key = doc * max(len(uniques), 1) + codes
+    uk, counts = np.unique(key, return_counts=True)
+    return (np.asarray(uniques, dtype=object)[uk % max(len(uniques), 1)],
+            uk // max(len(uniques), 1), counts.astype(np.int64), lens)
+
+
+def _finish(doc_id: pa.Array, n_tokens: np.ndarray,
+            bits_sum: np.ndarray) -> pa.Table:
+    nd = n_tokens.astype(np.float64)
+    bits = np.divide(-bits_sum, nd, out=np.zeros_like(nd), where=nd > 0)
+    return pa.table({
+        "doc_id": doc_id,
+        "n_tokens": pa.array(n_tokens.astype(np.int64)),
+        "lm_bits": pa.array(bits.astype(np.float32)),
+    })
+
+
+def _unigram_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted vocab array, counts): distributed per-batch partial
+    counts -> one token groupby -> vocab-sized arrays on the driver."""
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, _, counts, _ = _batch_doc_token_counts(
+            t.column("text").to_pylist())
+        df = pd.DataFrame({"w": toks, "c": counts})
+        g = df.groupby("w", as_index=False, sort=False)["c"].sum()
+        return pa.table({"w": pa.array(g["w"], pa.string()),
+                         "p_c": pa.array(g["c"].to_numpy())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("w").aggregate(Sum("p_c", alias_name="c")))
+    ws, cs = [], []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if "w" in b.column_names and len(b):
+            ws.append(np.asarray(b.column("w").to_pylist(), dtype=object))
+            cs.append(b.column("c").to_numpy())
+    if not ws:
+        return np.empty(0, object), np.zeros(0, np.int64)
+    w = np.concatenate(ws)
+    c = np.concatenate(cs).astype(np.int64)
+    order = np.argsort(w)
+    return w[order], c[order]
+
+
+def q_doc_lm_score(sf_dir: str) -> rd.Dataset:
+    """Per-doc unigram cross-entropy (bits/token) via the broadcast
+    plan — see module docstring."""
+    vocab, counts = _unigram_model(sf_dir)
+    total = float(counts.sum())
+    ref = broadcast((vocab, counts))
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        toks, dix, cnt, lens = _batch_doc_token_counts(
+            t.column("text").to_pylist())
+        bits_sum = np.zeros(len(t), np.float64)
+        if len(toks):
+            ix = np.searchsorted(v, toks)
+            # every token is in-vocab (model fit on this corpus)
+            logp = np.log2(c[ix].astype(np.float64) / total)
+            np.add.at(bits_sum, dix, cnt.astype(np.float64) * logp)
+        return _finish(t.column("doc_id").cast(pa.int64()), lens, bits_sum)
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def q_doc_lm_score_shuffled(sf_dir: str) -> rd.Dataset:
+    """Same result via the both-sides-big plan: one token-shard shuffle,
+    in-shard per-token totals, union-with-zeros doc fold."""
+    n_shards = shuffle_width(n_rows=table_num_rows(sf_dir, "documents"),
+                             rows_per_shard=LSH_ROWS_PER_SHARD)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    # grand total N: one cheap distributed sum -> a single driver scalar
+    def len_rows(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        lens = np.fromiter((len(_tokens(x)) for x in texts),
+                           dtype=np.int64, count=len(texts))
+        return pa.table({"n": pa.array(lens)})
+
+    total = float(docs.map_batches(len_rows, batch_format="pyarrow",
+                                   batch_size=8192).sum("n") or 0.0)
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        toks, dix, cnt, _ = _batch_doc_token_counts(
+            t.column("text").to_pylist())
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = (pd.util.hash_array(toks).astype(np.uint64) if len(toks)
+             else np.zeros(0, np.uint64))
+        shard = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 16)
+                 ).astype(np.int64) % n_shards
+        return pa.table({
+            "shard": pa.array(shard.astype(np.int32)),
+            "tok": pa.array(h),
+            "doc_id": pa.array(ids[dix] if len(toks) else
+                               np.zeros(0, np.int64)),
+            "c": pa.array(cnt),
+        })
+
+    def shard_partials(g: pd.DataFrame) -> pa.Table:
+        h = g["tok"].to_numpy()
+        c = g["c"].to_numpy().astype(np.float64)
+        order = np.argsort(h, kind="mergesort")
+        hs, cs = h[order], c[order]
+        new = np.concatenate([[True], hs[1:] != hs[:-1]])
+        seg = np.cumsum(new) - 1
+        tok_tot = np.bincount(seg, weights=cs)
+        logp = np.log2(tok_tot / total)
+        terms = cs * logp[seg]
+        docs_o = g["doc_id"].to_numpy()[order]
+        df = pd.DataFrame({"doc_id": docs_o, "b": terms, "n": cs})
+        out = df.groupby("doc_id", as_index=False).sum()
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "p_bits": pa.array(out["b"].to_numpy()),
+            "p_n": pa.array(out["n"].to_numpy().astype(np.int64)),
+        })
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "p_bits": pa.array(np.zeros(n, np.float64)),
+            "p_n": pa.array(np.zeros(n, np.int64)),
+        })
+
+    partials = (docs.map_batches(token_rows, batch_format="pyarrow",
+                                 batch_size=8192)
+                .groupby("shard").map_groups(shard_partials,
+                                             batch_format="pandas"))
+    zeros = docs.map_batches(zero_rows, batch_format="pyarrow",
+                             batch_size=8192)
+    agg = (zeros.union(partials)
+           .groupby("doc_id")
+           .aggregate(Sum("p_bits", alias_name="bits_sum"),
+                      Sum("p_n", alias_name="n_tokens")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_tokens": z,
+                             "lm_bits": pa.array([], pa.float32())})
+        return _finish(t.column("doc_id").cast(pa.int64()),
+                       t.column("n_tokens").to_numpy().astype(np.int64),
+                       t.column("bits_sum").to_numpy())
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+LM_SCORE_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''),
+    tc AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS s FROM tc),
+    dt AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM tok GROUP BY doc_id, w),
+    sums AS (
+        SELECT dt.doc_id,
+               SUM(dt.c * log2(tc.n / tot.s)) AS bits_sum,
+               CAST(SUM(dt.c) AS BIGINT) AS nd
+        FROM dt JOIN tc USING (w), tot
+        GROUP BY dt.doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(s.nd, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN COALESCE(s.nd, 0) > 0
+                     THEN -s.bits_sum / s.nd ELSE 0.0 END
+                AS REAL) AS lm_bits
+    FROM documents d LEFT JOIN sums s USING (doc_id)
+"""
