@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "embedding_knn",
     "doc_dup_ngram_stats",
+    "doc_decontaminate",
+    "doc_lm_score_shuffled",
+    "doc_gopher_quality",
 ]
 
 
