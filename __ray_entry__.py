@@ -404,6 +404,13 @@ def _w_embedding_dup_pairs_lsh(sf_dir: str):
     return similarity.q_embedding_dup_pairs_lsh(sf_dir)
 
 
+def _w_embedding_semdedup(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    _aux(sf_dir, "semdedup")
+    return similarity.q_embedding_semdedup(sf_dir)
+
+
 def _w_media_features(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
 
@@ -520,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
         "doc_lm_score": scoring.q_doc_lm_score,  # SQL-checked
         "doc_lm_score_shuffled": scoring.q_doc_lm_score_shuffled,  # SQL-checked
+        "vocab_top": scoring.q_vocab_top,  # SQL-checked
         # --- dedup suite (SQL-checked: DuckDB directly where expressible,
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
@@ -542,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spec, faiss-style); the fixture recomputes the whole probe
         # search single-process
         "embedding_dup_pairs_lsh": _w_embedding_dup_pairs_lsh,  # SQL-checked
+        "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
         # --- multimodal plumbing (images use the REAL PNG codec on the
         # png_roundtrip path, audio the REAL WAV codec on the
         # wav_roundtrip path, FAKE1 elsewhere; ALL SQL-checked via
@@ -622,7 +631,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
         DOMAIN_MIX_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
-        LM_SCORE_SQL)
+        LM_SCORE_SQL, VOCAB_TOP_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -709,6 +718,7 @@ def _sql_registry() -> dict[str, str]:
         "embedding_knn_ivf": f"SELECT * FROM {aux.format(name='knn_ivf')}",
         "embedding_dup_pairs_lsh":
             f"SELECT * FROM {aux.format(name='dup_pairs_lsh')}",
+        "embedding_semdedup": f"SELECT * FROM {aux.format(name='semdedup')}",
         "media_features":
             f"SELECT * FROM {aux.format(name='media_features')}",
         "media_wav_roundtrip":
@@ -1185,6 +1195,7 @@ def _sql_registry() -> dict[str, str]:
         # share one oracle (broadcast vs shuffle is a physical choice):
         # both LM-score plans produce identical tables -> shared oracle:
         "doc_lm_score": LM_SCORE_SQL,
+        "vocab_top": VOCAB_TOP_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,
         "doc_decontaminate_shuffled": DECONTAM_SQL,
@@ -1226,8 +1237,10 @@ def oracle_sql() -> dict[str, str]:
     try:
         if os.path.isdir("/root/testdata/sf0.01"):
             _oracle_fixtures("/root/testdata/sf0.01")
-            for name in ("rolling_fp", "simhash", "simhash_pairs", "winnow",
-                         "minhash_pairs", "knn_lsh", "dup_pairs_lsh"):
+            from amazon_textract_transformer_pipeline_ray.oracle_fixture_aux import (
+                _builders)
+
+            for name in _builders():  # every aux fixture, none left stale
                 _aux("/root/testdata/sf0.01", name)
     except Exception:  # noqa: BLE001 - fixture build must never break SQL listing
         pass

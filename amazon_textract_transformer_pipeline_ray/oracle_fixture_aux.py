@@ -755,6 +755,35 @@ def _sorted_by_id(table: pa.Table) -> pa.Table:
     return table.sort_by("media_id")
 
 
+def _expected_semdedup(sf_dir: str) -> pa.Table:
+    """Single-process SemDeDup: the centroid MODEL is imported as spec
+    (same convention as ``_expected_knn_ivf``); assignment and the
+    within-cluster first-wins scan are recomputed loop-style — per-pair
+    ``np.dot``, no blocked matmul, none of the engine's shuffle/group
+    machinery."""
+    from .pipelines.similarity import (SEMDEDUP_COSINE, ivf_centroids,
+                                       semdedup_lists)
+
+    ids, xn = _embeddings(sf_dir)
+    cents = ivf_centroids(sf_dir, n_lists=semdedup_lists(len(ids)))
+    order = np.argsort(ids)
+    ids, xn = ids[order], xn[order]
+    assign = np.array([int(np.argmax([np.dot(v, c) for c in cents]))
+                       for v in xn], dtype=np.int64)
+    keep = np.ones(len(ids), dtype=np.int64)
+    by_cluster: dict[int, list[int]] = {}
+    for i, cl in enumerate(assign.tolist()):
+        prior = by_cluster.setdefault(cl, [])
+        for j in prior:  # ids sorted ascending -> prior = smaller ids
+            if np.dot(xn[i], xn[j]) >= SEMDEDUP_COSINE:
+                keep[i] = 0
+                break
+        prior.append(i)
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster_id": pa.array(assign, pa.int64()),
+                     "keep": pa.array(keep, pa.int64())})
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -770,6 +799,7 @@ def _builders() -> dict:
         "knn_lsh": _expected_knn_lsh,
         "knn_ivf": _expected_knn_ivf,
         "dup_pairs_lsh": _expected_dup_pairs_lsh,
+        "semdedup": _expected_semdedup,
         "media_features": _expected_media_features,
         "media_wav": _expected_media_wav,
         "media_bundle": _expected_media_bundle,

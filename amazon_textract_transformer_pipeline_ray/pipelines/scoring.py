@@ -231,3 +231,55 @@ LM_SCORE_SQL = r"""
                 AS REAL) AS lm_bits
     FROM documents d LEFT JOIN sums s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction: the top-K corpus token table with rank and
+# cumulative coverage — the frequency-cutoff vocab build every
+# tokenizer/embedding pipeline starts from.
+
+VOCAB_TOP_K = 500
+
+
+def q_vocab_top(sf_dir: str, k: int = VOCAB_TOP_K) -> pa.Table:
+    """Top-``k`` tokens by corpus frequency: (token, n, rnk, cum_share)
+    with deterministic ordering (count desc, token asc) and cumulative
+    coverage share in rank order.  The distributed part is the token
+    groupby (same as the LM model fit); the sort/rank runs on the
+    driver over the vocab-sized reduction (post-reduction
+    materialization, per repo convention)."""
+    vocab, counts = _unigram_model(sf_dir)
+    total = float(counts.sum())
+    if not len(vocab):
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64()),
+                         "cum_share": pa.array([], pa.float32())})
+    # vocab already token-ascending; stable sort by -count keeps the
+    # token-asc tiebreak
+    order = np.argsort(-counts, kind="stable")[:k]
+    top_w = vocab[order]
+    top_c = counts[order]
+    cum = np.cumsum(top_c).astype(np.float64) / total
+    return pa.table({
+        "token": pa.array(list(top_w), pa.string()),
+        "n": pa.array(top_c.astype(np.int64)),
+        "rnk": pa.array(np.arange(1, len(top_w) + 1, dtype=np.int64)),
+        "cum_share": pa.array(cum.astype(np.float32)),
+    })
+
+
+VOCAB_TOP_SQL = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''),
+    tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS s FROM tc),
+    r AS (SELECT w, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+          FROM tc)
+    SELECT r.w AS token, r.c AS n, CAST(r.rnk AS BIGINT) AS rnk,
+           CAST(CAST(SUM(r.c) OVER (ORDER BY r.rnk) AS DOUBLE) / tot.s
+                AS REAL) AS cum_share
+    FROM r, tot WHERE r.rnk <= 500
+"""

@@ -518,3 +518,86 @@ def q_embedding_knn_lsh(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
     out = (partials.groupby("query_id").map_groups(merge, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-compare (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication" — public paper).  Cluster the embedding space with the
+# deterministic sample-trained centroids, then find near-duplicates ONLY
+# within each cluster — the quadratic runs over n/k rows per cluster
+# instead of n, which is what makes cosine dedup feasible at web scale.
+
+SEMDEDUP_COSINE = DUP_COSINE  # same near-dup bar as the pairwise suite
+
+
+def semdedup_lists(n_rows: int, sample_n: int = IVF_TRAIN_SAMPLE) -> int:
+    """Cluster count sized by the TABLE, not hardcoded: ~1024 rows per
+    cluster keeps the in-cluster quadratic bounded as the corpus grows
+    (SemDeDup runs k ~ n/1000 in the paper), floored at the IVF default
+    and capped by what the centroid-training sample can support."""
+    return int(min(max(N_IVF_LISTS, n_rows // 1024), max(sample_n // 4, 1)))
+
+
+def q_embedding_semdedup(sf_dir: str,
+                         threshold: float = SEMDEDUP_COSINE,
+                         n_lists: int | None = None) -> rd.Dataset:
+    """Per-vector SemDeDup verdict: (vec_id, cluster_id, keep) where
+    ``keep`` = 0 iff some SMALLER vec_id in the same cluster has cosine
+    >= ``threshold`` (first-wins survivor rule, as everywhere in the
+    dedup suite).
+
+    Scale shape: centroids are a driver-side sample fit (cost
+    independent of table size, shared as spec with the oracle),
+    broadcast once; assignment is a streaming matmul ``map_batches``;
+    ONE cluster-keyed shuffle co-locates each cluster, whose task runs
+    a blocked gram matmul over its ~1024 rows.  Per-task memory is
+    bounded by ``semdedup_lists`` sizing, not by corpus size; the
+    quadratic is in CLUSTER size only (the paper's point)."""
+    from ..sources.scale import table_num_rows
+
+    n_rows = table_num_rows(sf_dir, "embeddings")
+    if n_lists is None:
+        n_lists = semdedup_lists(n_rows)
+    cents = ivf_centroids(sf_dir, n_lists=n_lists)
+    ref = broadcast(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, emb = _batch_matrix(batch)
+        xn = _normalize(emb)
+        cl = (xn @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "cluster_id": pa.array(cl),
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": batch["embedding"],
+        })
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        emb = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in g["embedding"]],
+            dtype=np.float64)[order]
+        xn = _normalize(emb)
+        n = len(ids)
+        keep = np.ones(n, dtype=np.int64)
+        # blocked lower-triangular scan: each block row only compares
+        # against strictly-smaller ids, 512 rows at a time
+        B = 512
+        for s in range(1, n, B):
+            e = min(s + B, n)
+            sims = xn[s:e] @ xn[:e].T
+            jj = np.arange(s, e)[:, None] > np.arange(e)[None, :]
+            keep[s:e] = ~np.any((sims >= threshold) & jj, axis=1)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster_id": g["cluster_id"].to_numpy()[order],
+            "keep": keep,
+        })
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+            .groupby("cluster_id")
+            .map_groups(cluster_dedup, batch_format="pandas"))

@@ -66,3 +66,17 @@ def test_rare_tokens_score_higher(ray_session, tmp_path):
     sf = _write(tmp_path, texts)
     got = q_doc_lm_score(sf).to_pandas().sort_values("doc_id")
     assert got.lm_bits.iloc[-1] > got.lm_bits.iloc[0] + 3
+
+
+def test_vocab_top_rank_and_ties(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        q_vocab_top)
+
+    # b and c tie at 2 -> token-asc tiebreak; a wins with 3
+    sf = _write(tmp_path, ["a b c", "a b c", "a"])
+    got = q_vocab_top(sf).to_pandas()
+    assert got.token.tolist() == ["a", "b", "c"]
+    assert got.n.tolist() == [3, 2, 2]
+    assert got.rnk.tolist() == [1, 2, 3]
+    assert abs(got.cum_share.iloc[-1] - 1.0) < 1e-6
+    assert abs(got.cum_share.iloc[0] - 3 / 7) < 1e-6
