@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         filtering,
         graph,
         multimodal,
+        preprocess,
         relational,
         scoring,
         similarity,
@@ -528,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": scoring.q_doc_lm_score,  # SQL-checked
         "doc_lm_score_shuffled": scoring.q_doc_lm_score_shuffled,  # SQL-checked
         "vocab_top": scoring.q_vocab_top,  # SQL-checked
+        "corpus_preprocess": preprocess.q_corpus_preprocess,  # SQL-checked
         # --- dedup suite (SQL-checked: DuckDB directly where expressible,
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
@@ -632,6 +634,8 @@ def _sql_registry() -> dict[str, str]:
         DOMAIN_MIX_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
         LM_SCORE_SQL, VOCAB_TOP_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.preprocess import (
+        CORPUS_PREPROCESS_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1196,6 +1200,7 @@ def _sql_registry() -> dict[str, str]:
         # both LM-score plans produce identical tables -> shared oracle:
         "doc_lm_score": LM_SCORE_SQL,
         "vocab_top": VOCAB_TOP_SQL,
+        "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,
         "doc_decontaminate_shuffled": DECONTAM_SQL,

@@ -143,6 +143,32 @@ def _domain_weight(source: str) -> float:
         return 1.0
 
 
+def domain_thresholds(sf_dir: str) -> dict[str, str]:
+    """Per-source md5-hex-prefix acceptance thresholds at rate
+    ``w_s * K / n_s`` with ``K = min_s(n_s / w_s)`` — the shared model
+    behind ``q_doc_domain_mix`` and the composite preprocess pipeline.
+    One SMALL distributed count groupby; the result is #domains rows."""
+    ds = read_table(sf_dir, "documents", ["source"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch.column("source").to_pylist()})
+        g = df.groupby("source", as_index=False).agg(p_n=("source", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("source").aggregate(Sum("p_n", alias_name="n"))
+              .to_pandas())  # #domains rows — post-reduction materialization
+    w = counts["source"].map(_domain_weight).to_numpy(dtype=np.float64)
+    n = counts["n"].to_numpy(dtype=np.float64)
+    k = float(np.min(n / w))
+    rates = w * k / n
+    return {
+        s: "g" if r >= 1.0 else format(int(np.floor(r * 16 ** 8)), "08x")
+        for s, r in zip(counts["source"], rates)
+    }
+
+
 def q_doc_domain_mix(sf_dir: str) -> rd.Dataset:
     """Deterministic mixture resampling: select docs per source at rate
     ``w_s * K / n_s`` with ``K = min_s(n_s / w_s)`` — the largest total
@@ -162,25 +188,8 @@ def q_doc_domain_mix(sf_dir: str) -> rd.Dataset:
     uses the sentinel 'g', lexicographically above every hex digest) —
     string comparison on fixed-width lowercase hex IS the numeric
     comparison, in numpy and DuckDB alike."""
+    thr = domain_thresholds(sf_dir)
     ds = read_table(sf_dir, "documents", ["doc_id", "source"])
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"source": batch.column("source").to_pylist()})
-        g = df.groupby("source", as_index=False).agg(p_n=("source", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
-                             batch_size=65536)
-              .groupby("source").aggregate(Sum("p_n", alias_name="n"))
-              .to_pandas())  # #domains rows — post-reduction materialization
-    w = counts["source"].map(_domain_weight).to_numpy(dtype=np.float64)
-    n = counts["n"].to_numpy(dtype=np.float64)
-    k = float(np.min(n / w))
-    rates = w * k / n
-    thr = {
-        s: "g" if r >= 1.0 else format(int(np.floor(r * 16 ** 8)), "08x")
-        for s, r in zip(counts["source"], rates)
-    }
 
     def select(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

@@ -1,0 +1,199 @@
+"""The composite corpus-preprocessing pipeline: one flagship pass that
+chains the training-data filters the way a real pretraining recipe does
+— quality gate (Gopher bounds), benchmark decontamination, domain
+mixture sampling, PII accounting, and exact dedup — and emits a
+per-document verdict table with each gate's vote plus the conjunction.
+
+Physical plan (the point of the composition): every per-doc signal —
+Gopher keep, decontamination probe (eval grams broadcast), mixture
+accept (per-source thresholds broadcast), PII count, text md5 — is
+computed in ONE fused streaming ``map_batches`` pass; the ONLY shuffle
+in the whole pipeline is the exact-dedup md5 groupby, which the other
+signals simply ride through as payload columns (no doc-keyed joins
+anywhere).  Two small broadcast artifacts (eval gram ids, domain
+thresholds) are built by their own bounded passes first.
+
+Per-gate semantics are IDENTICAL to the standalone operators
+(`filtering.gopher_quality_batch`, `decontam.q_doc_decontaminate`,
+`corpus.q_doc_domain_mix`, `filtering.pii_scrub_batch`,
+`text.q_doc_dedup_exact`), and the SQL oracle is the conjunction of
+their oracles — so the composite is cross-checked end-to-end, not just
+component-wise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..sources.tables import broadcast, read_table
+from .corpus import domain_thresholds
+from .decontam import EVAL_MOD, _eval_gram_array
+from .dedup import _batch_gram_rows
+from .filtering import gopher_quality_batch, pii_scrub_batch
+
+
+def q_corpus_preprocess(sf_dir: str) -> rd.Dataset:
+    """Per-document verdict table:
+    (doc_id, keep_gopher, keep_decontam, keep_mix, keep_dedup, n_pii,
+    keep) — ``keep`` = conjunction of the four gates.  Eval-slice docs
+    (``doc_id % EVAL_MOD == 0``) are hard-excluded via
+    ``keep_decontam = 0`` (they ARE the benchmark).  ``keep_dedup``
+    keeps the min doc_id per distinct text md5."""
+    ev_ref = broadcast(_eval_gram_array(sf_dir))
+    thr = domain_thresholds(sf_dir)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        srcs = t.column("source").to_pylist()
+        # gate 1: Gopher quality (exact standalone kernel)
+        keep_gopher = gopher_quality_batch(
+            t.select(["doc_id", "text"])).column("keep").to_numpy()
+        # gate 2: decontamination (broadcast probe, standalone kernel)
+        ev = ray.get(ev_ref)
+        g, dix, npos, _ = _batch_gram_rows(texts)
+        contam = np.zeros(len(ids), np.int64)
+        if len(g) and len(ev):
+            ix = np.searchsorted(ev, g)
+            ix[ix == len(ev)] = 0
+            hit = ev[ix] == g
+            if hit.any():
+                np.add.at(contam, dix[hit], npos[hit])
+        keep_decontam = ((contam == 0) & (ids % EVAL_MOD != 0)).astype(
+            np.int64)
+        # gate 3: domain mixture accept (same threshold convention)
+        pref = [hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8]
+                for i in ids]
+        keep_mix = np.fromiter(
+            (p < thr.get(s, "00000000") for p, s in zip(pref, srcs)),
+            dtype=np.int64, count=len(ids))
+        # PII accounting (count only; redaction happens at export)
+        n_pii = pii_scrub_batch(
+            t.select(["doc_id", "text"])).column("pii_total").to_numpy()
+        # dedup key rides the one shuffle
+        text_md5 = [hashlib.md5(x.encode("utf-8")).hexdigest()
+                    for x in texts]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text_md5": pa.array(text_md5, pa.string()),
+            "keep_gopher": pa.array(keep_gopher),
+            "keep_decontam": pa.array(keep_decontam),
+            "keep_mix": pa.array(keep_mix),
+            "n_pii": pa.array(n_pii),
+        })
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        keep_dedup = (ids == ids.min()).astype(np.int64)
+        out = g.drop(columns=["text_md5"]).copy()
+        out["keep_dedup"] = keep_dedup
+        out["keep"] = (out["keep_gopher"] * out["keep_decontam"]
+                       * out["keep_mix"] * keep_dedup)
+        return out
+
+    return (docs.map_batches(signals, batch_format="pyarrow",
+                             batch_size=4096)
+            .groupby("text_md5")
+            .map_groups(dedup_group, batch_format="pandas"))
+
+
+_CORPUS_PREPROCESS_TEMPLATE = r"""
+    WITH tokd AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+')
+               END AS ts
+        FROM documents),
+    -- Gopher gate (same signals as doc_gopher_quality)
+    w AS (SELECT doc_id, unnest(ts) AS w FROM tokd),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    wtop AS (SELECT doc_id, MAX(c) AS top_w FROM wc GROUP BY 1),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                      generate_series(1, len(ts) - 1),
+                      i -> ts[i] || chr(1) || ts[i + 1])) AS b
+           FROM tokd WHERE len(ts) >= 2),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    btop AS (SELECT doc_id, MAX(c) AS top_b FROM bc GROUP BY 1),
+    gopher AS (
+        SELECT t.doc_id,
+               CAST(len(ts) BETWEEN 50 AND 100000
+                    AND (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                         CAST(list_aggregate(list_transform(ts,
+                                  x -> length(x)), 'sum') AS DOUBLE)
+                             / CAST(len(ts) AS DOUBLE) END)
+                        BETWEEN 3.0 AND 10.0
+                    AND (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                         CAST(COALESCE(wtop.top_w, 0) AS DOUBLE)
+                             / CAST(len(ts) AS DOUBLE) END) <= 0.20
+                    AND (CASE WHEN len(ts) < 2 THEN 0.0 ELSE
+                         CAST(COALESCE(btop.top_b, 0) AS DOUBLE)
+                             / CAST(len(ts) - 1 AS DOUBLE) END) <= 0.10
+                    AS BIGINT) AS keep_gopher
+        FROM tokd t
+        LEFT JOIN wtop ON wtop.doc_id = t.doc_id
+        LEFT JOIN btop ON btop.doc_id = t.doc_id),
+    -- decontamination gate (same grams as doc_decontaminate)
+    grams AS (
+        SELECT t.doc_id, array_to_string(t.ts[r.i:r.i+7], ' ') AS g
+        FROM tokd t, unnest(range(1, len(t.ts) - 6)) AS r(i)
+        WHERE len(t.ts) >= 8),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    contam AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)),
+    -- mixture gate (same thresholds as doc_domain_mix)
+    cnt AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+        FROM documents GROUP BY source),
+    k AS (SELECT MIN(n / w) AS k FROM cnt),
+    thr AS (
+        SELECT source,
+               CASE WHEN (w * k.k) / n >= 1.0 THEN 'g'
+                    ELSE printf('%08x', CAST(floor(
+                        (w * k.k) / n * 4294967296.0) AS BIGINT))
+               END AS thr_hex
+        FROM cnt, k),
+    -- exact-dedup gate
+    surv AS (SELECT MIN(doc_id) AS keep_doc_id FROM documents
+             GROUP BY md5(text)),
+    verdict AS (
+        SELECT d.doc_id,
+               g.keep_gopher,
+               CAST(c.doc_id IS NULL AND d.doc_id % 20 <> 0 AS BIGINT)
+                   AS keep_decontam,
+               CAST(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                        < t.thr_hex AS BIGINT) AS keep_mix,
+               CAST(d.doc_id IN (SELECT keep_doc_id FROM surv)
+                    AS BIGINT) AS keep_dedup,
+               CAST(len(regexp_extract_all(d.text, '@PII_EMAIL@'))
+                    + len(regexp_extract_all(d.text, '@PII_IPV4@'))
+                    + len(regexp_extract_all(d.text, '@PII_PHONE@'))
+                    AS BIGINT) AS n_pii
+        FROM documents d
+        JOIN gopher g ON g.doc_id = d.doc_id
+        JOIN thr t USING (source)
+        LEFT JOIN contam c ON c.doc_id = d.doc_id)
+    SELECT *,
+           keep_gopher * keep_decontam * keep_mix * keep_dedup AS keep
+    FROM verdict
+"""
+
+
+# The PII patterns are interpolated from the SAME constants the engine
+# kernel uses (regex braces make str.format unusable; sentinel replace):
+from .filtering import PII_EMAIL, PII_IPV4, PII_PHONE  # noqa: E402
+
+CORPUS_PREPROCESS_SQL = (_CORPUS_PREPROCESS_TEMPLATE
+                         .replace("@PII_EMAIL@", PII_EMAIL)
+                         .replace("@PII_IPV4@", PII_IPV4)
+                         .replace("@PII_PHONE@", PII_PHONE))
