@@ -77,7 +77,7 @@ def _eval_gram_array(sf_dir: str) -> np.ndarray:
 
     parts = [b.column("gram").to_numpy()
              for b in ds.map_batches(eval_grams, batch_format="pyarrow",
-                                     batch_size=4096)
+                                     batch_size=1024)
              .iter_batches(batch_format="pyarrow", batch_size=None)]
     if not parts:
         return np.zeros(0, np.uint64)
@@ -110,7 +110,8 @@ def q_doc_decontaminate(sf_dir: str) -> rd.Dataset:
                 np.add.at(n_contam, dix[hit], npos[hit])
         return _finish_table(pa.array(tids), n_ngrams, n_contam)
 
-    return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    # 1024 keeps task parallelism high on small corpora (see preprocess)
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=1024)
 
 
 def q_doc_decontaminate_shuffled(sf_dir: str) -> rd.Dataset:

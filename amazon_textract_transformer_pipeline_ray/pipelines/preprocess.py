@@ -45,8 +45,11 @@ def q_corpus_preprocess(sf_dir: str) -> rd.Dataset:
     (``doc_id % EVAL_MOD == 0``) are hard-excluded via
     ``keep_decontam = 0`` (they ARE the benchmark).  ``keep_dedup``
     keeps the min doc_id per distinct text md5."""
+    from ..sources.scale import shuffle_width, table_num_rows
+
     ev_ref = broadcast(_eval_gram_array(sf_dir))
     thr = domain_thresholds(sf_dir)
+    n_shards = shuffle_width(n_rows=table_num_rows(sf_dir, "documents"))
     docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def signals(t: pa.Table) -> pa.Table:
@@ -77,10 +80,17 @@ def q_corpus_preprocess(sf_dir: str) -> rd.Dataset:
         # PII accounting (count only; redaction happens at export)
         n_pii = pii_scrub_batch(
             t.select(["doc_id", "text"])).column("pii_total").to_numpy()
-        # dedup key rides the one shuffle
+        # dedup key rides the one shuffle; the shuffle key is a COARSE
+        # shard of it (exact-md5 groups would mean one Ray group per
+        # distinct text — per-group overhead dwarfs the work; see the
+        # LSH shard note in dedup.py) — exact segmentation happens
+        # vectorized inside the shard task
         text_md5 = [hashlib.md5(x.encode("utf-8")).hexdigest()
                     for x in texts]
+        shard = np.fromiter((int(m[:8], 16) for m in text_md5),
+                            dtype=np.int64, count=len(text_md5)) % n_shards
         return pa.table({
+            "shard": pa.array(shard.astype(np.int32)),
             "doc_id": pa.array(ids),
             "text_md5": pa.array(text_md5, pa.string()),
             "keep_gopher": pa.array(keep_gopher),
@@ -89,19 +99,26 @@ def q_corpus_preprocess(sf_dir: str) -> rd.Dataset:
             "n_pii": pa.array(n_pii),
         })
 
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+    def shard_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        md5s = g["text_md5"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        keep_dedup = (ids == ids.min()).astype(np.int64)
-        out = g.drop(columns=["text_md5"]).copy()
+        order = np.lexsort((ids, md5s))
+        first = np.concatenate([[True], md5s[order][1:] != md5s[order][:-1]])
+        keep_dedup = np.empty(len(ids), np.int64)
+        keep_dedup[order] = first  # survivor = min doc_id per md5 run
+        out = g.drop(columns=["text_md5", "shard"]).copy()
         out["keep_dedup"] = keep_dedup
         out["keep"] = (out["keep_gopher"] * out["keep_decontam"]
                        * out["keep_mix"] * keep_dedup)
         return out
 
+    # batch_size 1024: the fused kernel amortizes fully by ~1k docs,
+    # and smaller batches keep task parallelism high even on small
+    # corpora (4096 left a 5k-doc table running on 2 cores)
     return (docs.map_batches(signals, batch_format="pyarrow",
-                             batch_size=4096)
-            .groupby("text_md5")
-            .map_groups(dedup_group, batch_format="pandas"))
+                             batch_size=1024)
+            .groupby("shard")
+            .map_groups(shard_dedup, batch_format="pandas"))
 
 
 _CORPUS_PREPROCESS_TEMPLATE = r"""

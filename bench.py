@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_lm_score_shuffled",
     "doc_gopher_quality",
+    "corpus_preprocess",
 ]
 
 
