@@ -20,7 +20,9 @@ finished run's turns table), ``export`` (training-data tables via the
 mlm/ner/seq2seq task registry, ``--pack-budget`` for the greedy packed
 table), ``dedup`` (exact / near-dup-cluster / survivor-corpus /
 duplicated-n-gram detection and removal passes over a documents
-table).  This module owns the Ray session
+table), ``filter`` (corpus-filter passes: Gopher quality, PII scrub,
+decontamination, domain mix, LM scoring, SemDeDup, or the composite
+preprocess verdict table, ``--keep-only`` for the cleaned slice).  This module owns the Ray session
 (guarded init); library code never calls ray.init.
 """
 
@@ -86,6 +88,25 @@ def main(argv: list[str] | None = None) -> int:
                          "after cluster dedup; ngram-stats / ngram-remove "
                          "= substring-level duplicated-8-gram detection / "
                          "removal")
+
+    fl = sub.add_parser(
+        "filter",
+        help="run a corpus-filter pass over a directory's documents.parquet")
+    fl.add_argument("--table-dir", required=True,
+                    help="directory holding documents.parquet "
+                         "(mix/semdedup also read source/embeddings)")
+    fl.add_argument("--dest", required=True, help="destination directory")
+    fl.add_argument("--mode", default="preprocess",
+                    choices=("gopher", "pii", "decontam", "mix",
+                             "lm-score", "semdedup", "preprocess"),
+                    help="gopher = quality/repetition signals; pii = "
+                         "detect+redact counts; decontam = eval-overlap "
+                         "stats; mix = domain-mixture selection; lm-score "
+                         "= unigram-LM bits/token; semdedup = embedding "
+                         "cluster dedup; preprocess = the composite "
+                         "verdict table (all gates)")
+    fl.add_argument("--keep-only", action="store_true",
+                    help="preprocess mode: write only rows with keep=1")
 
     exp = sub.add_parser(
         "export", help="write a training-data table (task registry)")
@@ -175,6 +196,41 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(pa.Table.from_pandas(result,
                                                 preserve_index=False),
                            os.path.join(args.dest, "part-00000.parquet"))
+        print(json.dumps({"mode": args.mode,
+                          "rows": rd.read_parquet(args.dest).count(),
+                          "dest": args.dest}))
+        return 0
+
+    if args.cmd == "filter":
+        import ray.data as rd
+
+        from .pipelines import corpus as corpus_mod
+        from .pipelines import decontam as dc_mod
+        from .pipelines import filtering as filt_mod
+        from .pipelines import preprocess as pp_mod
+        from .pipelines import scoring as sc_mod
+        from .pipelines import similarity as sim_mod
+
+        builders = {
+            "gopher": filt_mod.q_doc_gopher_quality,
+            "pii": filt_mod.q_doc_pii_scrub,
+            "decontam": dc_mod.q_doc_decontaminate,
+            "mix": corpus_mod.q_doc_domain_mix,
+            "lm-score": sc_mod.q_doc_lm_score,
+            "semdedup": sim_mod.q_embedding_semdedup,
+            "preprocess": pp_mod.q_corpus_preprocess,
+        }
+        result = builders[args.mode](args.table_dir)
+        if args.keep_only:
+            if args.mode != "preprocess":
+                ap.error("--keep-only applies to preprocess mode")
+            import pyarrow.compute as pc
+
+            def _kept(b):
+                return b.filter(pc.equal(b["keep"], 1))
+
+            result = result.map_batches(_kept, batch_format="pyarrow")
+        result.write_parquet(args.dest)
         print(json.dumps({"mode": args.mode,
                           "rows": rd.read_parquet(args.dest).count(),
                           "dest": args.dest}))

@@ -123,3 +123,52 @@ def test_cli_dedup_modes(ray_session, tmp_path, capsys):
         assert r["rows"] == n and r["mode"] == mode
     stats = pd.read_parquet(str(tmp_path / "out_ngram_stats"))
     assert stats.sort_values("doc_id")["n_dup_ngrams"].tolist() == [1, 1, 0]
+
+
+def test_cli_filter_modes(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    vocab = [f"word{k:02d}" for k in range(40)]
+    n = 60
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(n)]
+    texts[3] = texts[2]  # exact dup -> dropped by preprocess keep
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array([f"src{i % 3}" for i in range(n)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(table_dir / "documents.parquet"))
+    emb = rng.standard_normal((n, 8))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    }), str(table_dir / "embeddings.parquet"))
+
+    expect_rows = {"gopher": n, "pii": n, "decontam": n - 3, "mix": n,
+                   "lm-score": n, "semdedup": n, "preprocess": n}
+    for mode, rows in expect_rows.items():
+        dest = str(tmp_path / f"f_{mode.replace('-', '_')}")
+        assert main(["filter", "--table-dir", str(table_dir),
+                     "--dest", dest, "--mode", mode]) == 0
+        r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert r["rows"] == rows and r["mode"] == mode
+
+    # keep-only slice: strictly fewer rows, all keep=1, dup id 3 gone
+    dest = str(tmp_path / "f_kept")
+    assert main(["filter", "--table-dir", str(table_dir),
+                 "--dest", dest, "--mode", "preprocess",
+                 "--keep-only"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = pd.read_parquet(dest)
+    assert r["rows"] == len(kept) < n
+    assert (kept.keep == 1).all()
+    assert 3 not in set(kept.doc_id)
