@@ -227,3 +227,36 @@ DOMAIN_MIX_SQL = r"""
                 AS BIGINT) AS selected
     FROM documents d JOIN thr t USING (source)
 """
+
+
+SAMPLE_K = 50
+
+
+def q_doc_sample_k(sf_dir: str, k: int = SAMPLE_K) -> pa.Table:
+    """Deterministic uniform K-sample: the K smallest ``md5(doc_id)``
+    digests — order-by-hash sampling, the fixed-size analog of the
+    fraction samplers above (inspection/eyeballing draws).  No global
+    sort: each batch keeps its own top-K candidates, the driver merges
+    ``n_batches x K`` rows (the same partial-top-k-merge shape as the
+    kNN suite).  Stable under corpus growth: a doc leaves the sample
+    only when a smaller-hash doc enters."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+        df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64), "h": h})
+        return pa.Table.from_pandas(df.sort_values(["h", "doc_id"]).head(k),
+                                    preserve_index=False)
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    top = cand.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+SAMPLE_K_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents ORDER BY h, doc_id LIMIT 50
+"""

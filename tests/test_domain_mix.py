@@ -67,3 +67,24 @@ def test_limiting_domain_fully_kept_and_proportions(ray_session, tmp_path):
     for s, target in (("src0", 10.0), ("src1", 20.0)):
         sigma = np.sqrt(target)
         assert abs(per[s] - target) <= 3 * sigma + 1, (s, per[s], target)
+
+
+def test_sample_k_deterministic_and_stable(ray_session, tmp_path):
+    import hashlib
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
+        q_doc_sample_k)
+
+    sf = _write(tmp_path, ["src0"] * 300)
+    got = q_doc_sample_k(sf, k=20).to_pandas()
+    exp = sorted(((hashlib.md5(str(i).encode()).hexdigest(), i)
+                  for i in range(300)))[:20]
+    assert list(zip(got.h, got.doc_id)) == exp
+    # growth stability: with MORE docs the sample is the top-20 of the
+    # bigger pool — every member either survives or is displaced by a
+    # smaller hash, never reshuffled
+    sf2 = _write(tmp_path, ["src0"] * 500)
+    got2 = q_doc_sample_k(sf2, k=20).to_pandas()
+    assert set(got2.h) == {h for h, _ in sorted(
+        ((hashlib.md5(str(i).encode()).hexdigest(), i)
+         for i in range(500)))[:20]}
