@@ -761,11 +761,10 @@ def _expected_semdedup(sf_dir: str) -> pa.Table:
     within-cluster first-wins scan are recomputed loop-style — per-pair
     ``np.dot``, no blocked matmul, none of the engine's shuffle/group
     machinery."""
-    from .pipelines.similarity import (SEMDEDUP_COSINE, ivf_centroids,
-                                       semdedup_lists)
+    from .pipelines.similarity import SEMDEDUP_COSINE, semdedup_centroids
 
     ids, xn = _embeddings(sf_dir)
-    cents = ivf_centroids(sf_dir, n_lists=semdedup_lists(len(ids)))
+    cents = semdedup_centroids(sf_dir, len(ids))
     order = np.argsort(ids)
     ids, xn = ids[order], xn[order]
     assign = np.array([int(np.argmax([np.dot(v, c) for c in cents]))

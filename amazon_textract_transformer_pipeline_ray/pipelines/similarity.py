@@ -531,12 +531,26 @@ def q_embedding_knn_lsh(sf_dir: str, k: int = KNN_K) -> pd.DataFrame:
 SEMDEDUP_COSINE = DUP_COSINE  # same near-dup bar as the pairwise suite
 
 
-def semdedup_lists(n_rows: int, sample_n: int = IVF_TRAIN_SAMPLE) -> int:
+def semdedup_lists(n_rows: int) -> int:
     """Cluster count sized by the TABLE, not hardcoded: ~1024 rows per
     cluster keeps the in-cluster quadratic bounded as the corpus grows
-    (SemDeDup runs k ~ n/1000 in the paper), floored at the IVF default
-    and capped by what the centroid-training sample can support."""
-    return int(min(max(N_IVF_LISTS, n_rows // 1024), max(sample_n // 4, 1)))
+    (SemDeDup runs k ~ n/1000 in the paper), floored at the IVF default.
+    The training sample is sized to the cluster count by
+    ``semdedup_centroids`` (4 sample points per centroid), so the cap
+    is the first parquet row group's size, not a constant."""
+    return int(min(max(N_IVF_LISTS, n_rows // 1024), 1 << 16))
+
+
+def semdedup_centroids(sf_dir: str, n_rows: int,
+                       n_lists: int | None = None) -> np.ndarray:
+    """The shared centroid MODEL for SemDeDup: cluster count from
+    ``semdedup_lists``, training sample 4x that (bounded by the first
+    row group — see ``_sample_matrix``).  One helper so the engine and
+    the independent oracle fixture fit the identical spec."""
+    if n_lists is None:
+        n_lists = semdedup_lists(n_rows)
+    return ivf_centroids(sf_dir, n_lists=n_lists,
+                         sample_n=max(IVF_TRAIN_SAMPLE, 4 * n_lists))
 
 
 def q_embedding_semdedup(sf_dir: str,
@@ -557,9 +571,7 @@ def q_embedding_semdedup(sf_dir: str,
     from ..sources.scale import table_num_rows
 
     n_rows = table_num_rows(sf_dir, "embeddings")
-    if n_lists is None:
-        n_lists = semdedup_lists(n_rows)
-    cents = ivf_centroids(sf_dir, n_lists=n_lists)
+    cents = semdedup_centroids(sf_dir, n_rows, n_lists)
     ref = broadcast(cents)
 
     def assign(batch: pa.Table) -> pa.Table:

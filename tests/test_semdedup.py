@@ -28,8 +28,10 @@ def _write(tmp_path, ids, vecs):
 def test_semdedup_lists_sizing():
     assert semdedup_lists(500) == 16
     assert semdedup_lists(100_000) == 97
-    assert semdedup_lists(10**9) == 512  # capped by the training sample
-    assert semdedup_lists(10**9, sample_n=65536) == 16384
+    # grows with the table so per-cluster quadratic stays ~1024 rows;
+    # hard cap keeps the driver-side centroid fit bounded
+    assert semdedup_lists(10**6) == 976
+    assert semdedup_lists(10**9) == 65536
 
 
 def test_semdedup_first_wins(ray_session, tmp_path):
