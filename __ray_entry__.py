@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
         "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
         "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
+        "doc_repetition": filtering.q_doc_repetition,  # SQL-checked
         "doc_lm_score": scoring.q_doc_lm_score,  # SQL-checked
         "doc_lm_score_shuffled": scoring.q_doc_lm_score_shuffled,  # SQL-checked
         "vocab_top": scoring.q_vocab_top,  # SQL-checked
@@ -1018,6 +1019,61 @@ def _sql_registry() -> dict[str, str]:
                         AND top_word_frac <= 0.20
                         AND top_bigram_frac <= 0.10 AS BIGINT) AS keep
             FROM sig
+        """,
+        # Gopher repetition signals: exact-string n-grams; every output
+        # fraction is an int/int DOUBLE division, bit-identical to the
+        # engine's numpy math (no f32 rounding needed).
+        "doc_repetition": r"""
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) <> ''),
+            base AS (SELECT doc_id, len(ts) AS nt,
+                            length(array_to_string(ts, ' ')) AS tc
+                     FROM tok),
+            g2 AS (SELECT t.doc_id, array_to_string(t.ts[r.i:r.i+1], ' ') AS g
+                   FROM tok t, unnest(range(1, len(t.ts))) AS r(i)),
+            t2 AS (SELECT doc_id, MAX(c * length(g)) AS m FROM
+                       (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+                   GROUP BY doc_id),
+            g3 AS (SELECT t.doc_id, array_to_string(t.ts[r.i:r.i+2], ' ') AS g
+                   FROM tok t, unnest(range(1, len(t.ts) - 1)) AS r(i)),
+            t3 AS (SELECT doc_id, MAX(c * length(g)) AS m FROM
+                       (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+                   GROUP BY doc_id),
+            g4 AS (SELECT t.doc_id, array_to_string(t.ts[r.i:r.i+3], ' ') AS g
+                   FROM tok t, unnest(range(1, len(t.ts) - 2)) AS r(i)),
+            t4 AS (SELECT doc_id, MAX(c * length(g)) AS m FROM
+                       (SELECT doc_id, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2)
+                   GROUP BY doc_id),
+            gd AS (SELECT t.doc_id, r.i AS p,
+                          array_to_string(t.ts[r.i:r.i+2], ' ') AS g
+                   FROM tok t, unnest(range(1, len(t.ts) - 1)) AS r(i)),
+            dd AS (SELECT doc_id, g FROM gd GROUP BY doc_id, g
+                   HAVING COUNT(*) >= 2),
+            cov AS (SELECT DISTINCT gd.doc_id, gd.p + o.j AS tp
+                    FROM gd JOIN dd USING (doc_id, g),
+                         unnest(range(0, 3)) AS o(j)),
+            c5 AS (SELECT doc_id, COUNT(*) AS c FROM cov GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(b.nt, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN COALESCE(b.tc, 0) > 0
+                        THEN CAST(COALESCE(t2.m, 0) AS DOUBLE) / b.tc
+                        ELSE 0.0 END AS top2_char_frac,
+                   CASE WHEN COALESCE(b.tc, 0) > 0
+                        THEN CAST(COALESCE(t3.m, 0) AS DOUBLE) / b.tc
+                        ELSE 0.0 END AS top3_char_frac,
+                   CASE WHEN COALESCE(b.tc, 0) > 0
+                        THEN CAST(COALESCE(t4.m, 0) AS DOUBLE) / b.tc
+                        ELSE 0.0 END AS top4_char_frac,
+                   CASE WHEN COALESCE(b.nt, 0) > 0
+                        THEN CAST(COALESCE(c5.c, 0) AS DOUBLE) / b.nt
+                        ELSE 0.0 END AS dup3_tok_frac
+            FROM documents d
+            LEFT JOIN base b USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN t4 USING (doc_id)
+            LEFT JOIN c5 USING (doc_id)
         """,
         "jaccard_dup_pairs": """
             WITH tok AS (

@@ -690,17 +690,17 @@ NGRAM_N = 8
 _NG_BASE = 1099511628211  # FNV-1a prime as the polynomial base (mod 2^64)
 
 
-def _gram_ids(h: np.ndarray) -> np.ndarray:
+def _gram_ids(h: np.ndarray, n: int = NGRAM_N) -> np.ndarray:
     """Polynomial n-gram ids over a positional token-id array, wrapping
-    uint64 arithmetic: g[i] = sum_j h[i+j] * B^(N-1-j) mod 2^64.  Eight
+    uint64 arithmetic: g[i] = sum_j h[i+j] * B^(n-1-j) mod 2^64.  ``n``
     shifted multiply-adds — no per-gram Python loop."""
-    m = len(h) - NGRAM_N + 1
+    m = len(h) - n + 1
     if m <= 0:
         return np.zeros(0, np.uint64)
     g = np.zeros(m, np.uint64)
     p = 1
     with np.errstate(over="ignore"):
-        for j in range(NGRAM_N - 1, -1, -1):
+        for j in range(n - 1, -1, -1):
             g += h[j:j + m] * np.uint64(p)
             p = (p * _NG_BASE) % (1 << 64)
     return g

@@ -157,6 +157,123 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# --------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021 Table A1, the n-gram rows):
+# top n-gram CHARACTER fraction for n = 2,3,4 and duplicate-5-gram token
+# coverage.  ``q_doc_gopher_quality`` above carries the word/bigram COUNT
+# fractions; these are the remaining repetition rows of the filter table.
+
+REP_TOP_NS = (2, 3, 4)
+# The paper runs duplicate-n-gram coverage at n in 5..10; this corpus's
+# word-soup docs never repeat a 5-gram within a document (checked at
+# sf0.1), so the shipped signal runs the same kernel at n=3 — the same
+# corpus-scale adaptation as the Gopher keep-bounds above.
+REP_DUP_N = 3
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized within-document repetition signals over a batch.
+
+    * ``top{n}_char_frac`` (n = 2,3,4): max over distinct n-grams of
+      occurrences x char-length(gram) divided by the doc's total chars
+      (gram/doc text = tokens joined by single spaces).  Gopher says
+      "characters in the most frequently-occurring n-gram"; taking the
+      max of count x length resolves count ties deterministically
+      toward the larger coverage (documented divergence).
+    * ``dup{REP_DUP_N}_tok_frac``: fraction of token positions
+      covered by at least one REP_DUP_N-gram occurring >= 2 times in
+      the document — the position-union form, so overlap never
+      double-counts.
+
+    Gram identity is the 64-bit polynomial over siphash token ids (the
+    dedup-suite convention; the SQL oracle uses exact strings — a
+    collision would need ~2^32 distinct grams in one batch).  One
+    token-hash call and one lexsort per n; no per-document loop.
+    """
+    texts = batch.column("text").to_pylist()
+    n_docs = len(texts)
+    tok_lists = [_WS_RE.split(t.strip()) if t.strip() else [] for t in texts]
+    n_words = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                          count=n_docs)
+    total = int(n_words.sum())
+    flat = np.empty(total, dtype=object)
+    if total:
+        flat[:] = [w for ws in tok_lists for w in ws]
+    doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    char_lens = np.fromiter((len(w) for w in flat), dtype=np.int64,
+                            count=total)
+    total_chars = (np.bincount(doc_ix, weights=char_lens.astype(np.float64),
+                               minlength=n_docs).astype(np.int64)
+                   + np.maximum(n_words - 1, 0))
+    h = (pd.util.hash_array(flat).astype(np.uint64) if total
+         else np.zeros(0, np.uint64))
+    psum = np.concatenate([[0], np.cumsum(char_lens)])
+
+    out: dict[str, pa.Array] = {"doc_id": batch["doc_id"],
+                                "n_tokens": pa.array(n_words)}
+    safe_chars = np.maximum(total_chars, 1).astype(np.float64)
+    for n in REP_TOP_NS:
+        best = np.zeros(n_docs, dtype=np.int64)
+        m = total - n + 1
+        if m > 0:
+            from .dedup import _gram_ids
+
+            g = _gram_ids(h, n)
+            valid = doc_ix[:m] == doc_ix[n - 1:]
+            gg, gd = g[valid], doc_ix[:m][valid]
+            gl = (psum[n:] - psum[:-n])[valid] + (n - 1)
+            if len(gg):
+                order = np.lexsort((gg, gd))
+                gs, ds_, ls = gg[order], gd[order], gl[order]
+                new = np.concatenate(
+                    [[True], (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])])
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.concatenate([starts, [len(gs)]]))
+                np.maximum.at(best, ds_[starts], cnt * ls[starts])
+        # int / int division: bit-identical to the oracle's DOUBLE math
+        frac = np.where(total_chars > 0, best / safe_chars, 0.0)
+        out[f"top{n}_char_frac"] = pa.array(frac)
+
+    cov_n = np.zeros(n_docs, dtype=np.int64)
+    m = total - REP_DUP_N + 1
+    if m > 0:
+        from .dedup import _gram_ids
+
+        g = _gram_ids(h, REP_DUP_N)
+        pos = np.arange(m, dtype=np.int64)
+        valid = doc_ix[:m] == doc_ix[REP_DUP_N - 1:]
+        gg, gd, gp = g[valid], doc_ix[:m][valid], pos[valid]
+        if len(gg):
+            order = np.lexsort((gg, gd))
+            gs, ds_, ps_ = gg[order], gd[order], gp[order]
+            new = np.concatenate(
+                [[True], (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])])
+            seg = np.cumsum(new) - 1
+            seg_cnt = np.bincount(seg)
+            starts_pos = ps_[seg_cnt[seg] >= 2]
+            if len(starts_pos):
+                diff = np.zeros(total + REP_DUP_N, np.int64)
+                np.add.at(diff, starts_pos, 1)
+                np.add.at(diff, starts_pos + REP_DUP_N, -1)
+                covered = np.cumsum(diff)[:total] > 0
+                cov_n = np.bincount(doc_ix[covered],
+                                    minlength=n_docs).astype(np.int64)
+    safe_n = np.maximum(n_words, 1).astype(np.float64)
+    frac5 = np.where(n_words > 0, cov_n / safe_n, 0.0)
+    out[f"dup{REP_DUP_N}_tok_frac"] = pa.array(frac5)
+    return pa.table(out)
+
+
+def q_doc_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher repetition-signal table per document: top-{2,3,4}-gram
+    character fractions and duplicate-``REP_DUP_N``-gram token coverage.  Pure
+    streaming ``map_batches`` — no shuffle, no driver state — so the
+    shape holds at any corpus size."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow",
+                          batch_size=2048)
+
+
 def q_doc_gopher_quality(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition/quality filter signals per document —
     the within-document complement to the cross-document

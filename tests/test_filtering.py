@@ -145,3 +145,63 @@ def test_gopher_single_doc_batch_and_all_empty():
     assert out["keep"] == [0, 0]
     out = gopher_quality_batch(_tbl(["one two two"])).to_pydict()
     assert out["top_bigram_frac"] == [0.5]
+
+
+# ------------------------------------------------- repetition signals
+
+def _naive_repetition(text):
+    from amazon_textract_transformer_pipeline_ray.pipelines.filtering import (
+        REP_DUP_N, REP_TOP_NS)
+
+    toks = re.split(r"\s+", text.strip()) if text.strip() else []
+    n = len(toks)
+    total_chars = len(" ".join(toks))
+    out = {"n_tokens": n}
+    for k in REP_TOP_NS:
+        grams = Counter(" ".join(toks[i:i + k]) for i in range(n - k + 1))
+        best = max((c * len(g) for g, c in grams.items()), default=0)
+        out[f"top{k}_char_frac"] = best / total_chars if total_chars else 0.0
+    grams = Counter(tuple(toks[i:i + REP_DUP_N])
+                    for i in range(n - REP_DUP_N + 1))
+    covered = set()
+    for i in range(n - REP_DUP_N + 1):
+        if grams[tuple(toks[i:i + REP_DUP_N])] >= 2:
+            covered.update(range(i, i + REP_DUP_N))
+    out[f"dup{REP_DUP_N}_tok_frac"] = len(covered) / n if n else 0.0
+    return out
+
+
+def test_repetition_matches_naive_per_doc():
+    from amazon_textract_transformer_pipeline_ray.pipelines.filtering import (
+        repetition_batch)
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "bb", "c", "dddd", "ee", "ffff"]
+    texts = ["", "   ", "solo",
+             # overlapping duplicated 3-grams: "a b a" at 0 and 2 ->
+             # coverage must union positions, not double-count
+             "a b a b a b a",
+             "x y z q x y z q",           # disjoint duplicated 3-grams
+             "w w w w w w"]               # one gram repeated everywhere
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    out = repetition_batch(_tbl(texts)).to_pydict()
+    for i, t in enumerate(texts):
+        exp = _naive_repetition(t)
+        for k, v in exp.items():
+            got = out[k][i]
+            assert got == v or abs(got - v) < 1e-12, (i, k, got, v, t[:40])
+
+
+def test_repetition_coverage_union_exact():
+    from amazon_textract_transformer_pipeline_ray.pipelines.filtering import (
+        repetition_batch)
+
+    # "a b a b a" : 3-grams = (a b a), (b a b), (a b a) -> "a b a" dup.
+    # Its two occurrences cover positions {0,1,2} and {2,3,4} -> all 5.
+    out = repetition_batch(_tbl(["a b a b a"])).to_pydict()
+    assert out["dup3_tok_frac"] == [1.0]
+    # "x q a b a b a" : same dup shifted; positions 2..6 of 7 covered.
+    out = repetition_batch(_tbl(["x q a b a b a"])).to_pydict()
+    assert out["dup3_tok_frac"] == [5.0 / 7.0]
