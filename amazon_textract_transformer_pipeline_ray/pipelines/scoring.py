@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -282,4 +283,164 @@ VOCAB_TOP_SQL = r"""
            CAST(CAST(SUM(r.c) OVER (ORDER BY r.rnk) AS DOUBLE) / tot.s
                 AS REAL) AS cum_share
     FROM r, tot WHERE r.rnk <= 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public paper): hashed
+# unigram+bigram bag-of-ngrams models for a TARGET distribution (here:
+# the corpus's ``lang = 'en'`` slice) and the RAW distribution (all
+# docs), Laplace-smoothed; per-doc log importance weight
+# ``sum_b c_b * (log2 p_tgt(b) - log2 p_raw(b))``.
+#
+# Scale shape: the bucket space is FIXED (DSIR_BUCKETS), so the model
+# broadcast is O(B) regardless of corpus size — a strictly better
+# small-side bound than the vocab-sized unigram LM above.  Fit is one
+# streaming pass emitting nonzero per-batch bucket partials into a tiny
+# groupby; scoring is a second streaming pass.  No driver state beyond
+# the B-bucket arrays.
+#
+# Bucketing is md5-based (first 15 hex digits mod B) so DuckDB
+# reproduces it exactly: ``CAST(('0x' || substr(md5(g),1,15)) AS
+# BIGINT) % B``.  The per-doc sum is order-sensitive; final column is
+# f32 (REAL) per the repo convention.
+
+DSIR_BUCKETS = 8192
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_features(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    """(bucket_id, doc_ix) per feature position (unigrams then bigrams,
+    all docs of the batch), plus per-doc feature counts.  One factorize
+    over the batch's gram strings; md5 runs once per DISTINCT gram."""
+    tok_lists = [_tokens(t) for t in texts]
+    n = len(texts)
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    n_feats = lens + np.maximum(lens - 1, 0)
+    if not total:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), n_feats
+    flat = np.empty(total, dtype=object)
+    flat[:] = [w for ws in tok_lists for w in ws]
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if total > 1:
+        same = doc[1:] == doc[:-1]
+        s = pd.Series(flat)
+        bi = (s.iloc[:-1].reset_index(drop=True) + " "
+              + s.iloc[1:].reset_index(drop=True)).to_numpy()[same]
+        bi_doc = doc[:-1][same]
+    else:
+        bi = np.empty(0, dtype=object)
+        bi_doc = np.zeros(0, np.int64)
+    grams = np.concatenate([flat, bi])
+    gdoc = np.concatenate([doc, bi_doc])
+    codes, uniques = pd.factorize(grams)
+    import hashlib
+
+    ub = np.fromiter(
+        (int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+         % DSIR_BUCKETS for g in uniques),
+        dtype=np.int64, count=len(uniques))
+    return ub[codes], gdoc, n_feats
+
+
+def _dsir_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(tgt_counts[B], raw_counts[B]) int64 bucket histograms:
+    per-batch nonzero partials -> one tiny groupby(bucket) -> driver
+    arrays.  Counts are integers, so the fit is order-exact."""
+    ds = read_table(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        is_tgt = pc.equal(t.column("lang"),
+                          DSIR_TARGET_LANG).to_numpy(zero_copy_only=False)
+        b, dix, _ = _dsir_features(texts)
+        raw = np.bincount(b, minlength=DSIR_BUCKETS)
+        tgt = np.bincount(b[is_tgt[dix]], minlength=DSIR_BUCKETS)
+        nz = np.flatnonzero(raw)
+        return pa.table({"b": pa.array(nz),
+                         "p_tgt": pa.array(tgt[nz]),
+                         "p_raw": pa.array(raw[nz])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("b").aggregate(Sum("p_tgt", alias_name="tc"),
+                                   Sum("p_raw", alias_name="rc")))
+    tgt = np.zeros(DSIR_BUCKETS, np.int64)
+    raw = np.zeros(DSIR_BUCKETS, np.int64)
+    for t in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if "b" in t.column_names and len(t):
+            bb = t.column("b").to_numpy()
+            tgt[bb] += t.column("tc").to_numpy()
+            raw[bb] += t.column("rc").to_numpy()
+    return tgt, raw
+
+
+def q_doc_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """Per-doc DSIR log importance weight toward the ``lang='en'``
+    target slice: (doc_id, n_feats, dsir_logw).  Two streaming passes
+    + one B-bucket broadcast — see the section comment for the scale
+    argument."""
+    tgt, raw = _dsir_model(sf_dir)
+    n_tgt = int(tgt.sum())
+    n_raw = int(raw.sum())
+    diff = (np.log2((tgt + 1) / (n_tgt + DSIR_BUCKETS))
+            - np.log2((raw + 1) / (n_raw + DSIR_BUCKETS)))
+    ref = broadcast(diff)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        texts = t.column("text").to_pylist()
+        b, dix, n_feats = _dsir_features(texts)
+        logw = np.zeros(len(t), np.float64)
+        if len(b):
+            # per-(doc, bucket) counts, then c * diff — mirrors the
+            # oracle's GROUP BY doc_id, b
+            key = dix * DSIR_BUCKETS + b
+            uk, cnt = np.unique(key, return_counts=True)
+            np.add.at(logw, uk // DSIR_BUCKETS,
+                      cnt.astype(np.float64) * d[uk % DSIR_BUCKETS])
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_feats": pa.array(n_feats),
+            "dsir_logw": pa.array(logw.astype(np.float32)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+DSIR_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents WHERE trim(text) <> ''),
+    uni AS (SELECT doc_id, ts[r.i] AS g
+            FROM tok, unnest(range(1, len(ts) + 1)) AS r(i)),
+    bi AS (SELECT doc_id, array_to_string(ts[r.i:r.i+1], ' ') AS g
+           FROM tok, unnest(range(1, len(ts))) AS r(i)),
+    feats AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 8192 AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    raw AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c
+            FROM feats JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY b),
+    nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+    nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+           FROM feats JOIN documents USING (doc_id) WHERE lang = 'en'),
+    model AS (
+        SELECT raw.b,
+               log2((COALESCE(tgt.c, 0) + 1) / (nt.n + 8192))
+                   - log2((raw.c + 1) / (nr.n + 8192)) AS diff
+        FROM raw LEFT JOIN tgt USING (b), nr, nt),
+    dbc AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
+    sums AS (SELECT dbc.doc_id, SUM(dbc.c * model.diff) AS s,
+                    CAST(SUM(dbc.c) AS BIGINT) AS nf
+             FROM dbc JOIN model USING (b) GROUP BY dbc.doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(s.nf, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(s.s, 0.0) AS REAL) AS dsir_logw
+    FROM documents d LEFT JOIN sums s USING (doc_id)
 """

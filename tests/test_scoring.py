@@ -80,3 +80,76 @@ def test_vocab_top_rank_and_ties(ray_session, tmp_path):
     assert got.rnk.tolist() == [1, 2, 3]
     assert abs(got.cum_share.iloc[-1] - 1.0) < 1e-6
     assert abs(got.cum_share.iloc[0] - 3 / 7) < 1e-6
+
+
+# ------------------------------------------------------------- DSIR
+
+def _write_langs(tmp_path, texts, langs):
+    df = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": langs, "source": "t", "n_chars": [len(t) for t in texts],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def _naive_dsir(texts, langs):
+    import hashlib
+    from collections import Counter
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        DSIR_BUCKETS, DSIR_TARGET_LANG)
+
+    def feats(t):
+        toks = t.split()
+        grams = toks + [" ".join(toks[i:i + 2])
+                        for i in range(len(toks) - 1)]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                % DSIR_BUCKETS for g in grams]
+
+    tgt, raw = Counter(), Counter()
+    for t, lg in zip(texts, langs):
+        for b in feats(t):
+            raw[b] += 1
+            if lg == DSIR_TARGET_LANG:
+                tgt[b] += 1
+    nt, nr = sum(tgt.values()), sum(raw.values())
+    out = []
+    for t in texts:
+        per_bucket = Counter(feats(t))
+        s = sum(c * (math.log2((tgt[b] + 1) / (nt + DSIR_BUCKETS))
+                     - math.log2((raw[b] + 1) / (nr + DSIR_BUCKETS)))
+                for b, c in per_bucket.items())
+        out.append((len(feats(t)), np.float32(s)))
+    return out
+
+
+def test_dsir_matches_naive(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        q_doc_dsir_weights)
+
+    texts = ["the cat sat", "le chat noir", "the dog ran fast",
+             "", "cat cat cat", "el gato negro"]
+    langs = ["en", "fr", "en", "en", "en", "es"]
+    sf = _write_langs(tmp_path, texts, langs)
+    got = (q_doc_dsir_weights(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = _naive_dsir(texts, langs)
+    for i, (nf, lw) in enumerate(exp):
+        assert got.n_feats[i] == nf, i
+        assert abs(got.dsir_logw[i] - lw) < 1e-4, (i, got.dsir_logw[i], lw)
+
+
+def test_dsir_ranks_target_language_higher(ray_session):
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        q_doc_dsir_weights)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_dsir_weights(sf).to_pandas()
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["doc_id", "lang"]).to_pandas()
+    m = got.merge(docs, on="doc_id")
+    mean_en = m[m.lang == "en"].dsir_logw.mean()
+    mean_other = m[m.lang != "en"].dsir_logw.mean()
+    assert mean_en > mean_other
