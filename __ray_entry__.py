@@ -411,6 +411,13 @@ def _w_embedding_semdedup(sf_dir: str):
     return similarity.q_embedding_semdedup(sf_dir)
 
 
+def _w_embedding_cluster_stats(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    _aux(sf_dir, "cluster_stats")
+    return similarity.q_embedding_cluster_stats(sf_dir)
+
+
 def _w_media_features(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
 
@@ -556,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search single-process
         "embedding_dup_pairs_lsh": _w_embedding_dup_pairs_lsh,  # SQL-checked
         "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
+        "embedding_cluster_stats": _w_embedding_cluster_stats,  # SQL-checked
+        # (fixture: loop-style per-pair np.dot recompute over the spec)
         # --- multimodal plumbing (images use the REAL PNG codec on the
         # png_roundtrip path, audio the REAL WAV codec on the
         # wav_roundtrip path, FAKE1 elsewhere; ALL SQL-checked via
@@ -726,6 +735,8 @@ def _sql_registry() -> dict[str, str]:
         "embedding_dup_pairs_lsh":
             f"SELECT * FROM {aux.format(name='dup_pairs_lsh')}",
         "embedding_semdedup": f"SELECT * FROM {aux.format(name='semdedup')}",
+        "embedding_cluster_stats":
+            f"SELECT * FROM {aux.format(name='cluster_stats')}",
         "media_features":
             f"SELECT * FROM {aux.format(name='media_features')}",
         "media_wav_roundtrip":

@@ -783,6 +783,41 @@ def _expected_semdedup(sf_dir: str) -> pa.Table:
                      "keep": pa.array(keep, pa.int64())})
 
 
+def _expected_cluster_stats(sf_dir: str) -> pa.Table:
+    """Single-process cluster stats: centroid model imported as spec;
+    per-vector assignment and the sum/min/max folds recomputed with
+    per-pair ``np.dot`` in vec_id order — none of the engine's
+    per-batch partial-fold or groupby machinery."""
+    from .pipelines.similarity import semdedup_centroids
+
+    ids, xn = _embeddings(sf_dir)
+    cents = semdedup_centroids(sf_dir, len(ids))
+    order = np.argsort(ids)
+    xn = xn[order]
+    stats: dict[int, list] = {}
+    for v in xn:
+        sims = [np.dot(v, c) for c in cents]
+        cl = int(np.argmax(sims))
+        s = sims[cl]
+        st = stats.setdefault(cl, [0, 0.0, np.inf, -np.inf])
+        st[0] += 1
+        st[1] += s
+        st[2] = min(st[2], s)
+        st[3] = max(st[3], s)
+    cls = sorted(stats)
+    return pa.table({
+        "cluster_id": pa.array(cls, pa.int64()),
+        "n": pa.array([stats[c][0] for c in cls], pa.int64()),
+        "mean_sim": pa.array(
+            np.array([stats[c][1] / stats[c][0] for c in cls],
+                     dtype=np.float64).astype(np.float32)),
+        "min_sim": pa.array(
+            np.array([stats[c][2] for c in cls]).astype(np.float32)),
+        "max_sim": pa.array(
+            np.array([stats[c][3] for c in cls]).astype(np.float32)),
+    })
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -799,6 +834,7 @@ def _builders() -> dict:
         "knn_ivf": _expected_knn_ivf,
         "dup_pairs_lsh": _expected_dup_pairs_lsh,
         "semdedup": _expected_semdedup,
+        "cluster_stats": _expected_cluster_stats,
         "media_features": _expected_media_features,
         "media_wav": _expected_media_wav,
         "media_bundle": _expected_media_bundle,

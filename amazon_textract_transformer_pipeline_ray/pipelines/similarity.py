@@ -613,3 +613,80 @@ def q_embedding_semdedup(sf_dir: str,
     return (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
             .groupby("cluster_id")
             .map_groups(cluster_dedup, batch_format="pandas"))
+
+
+def q_embedding_cluster_stats(sf_dir: str,
+                              n_lists: int | None = None) -> rd.Dataset:
+    """Per-cluster curation statistics over the shared SemDeDup
+    centroid spec: (cluster_id, n, mean_sim, min_sim, max_sim), where
+    ``sim`` = cosine(vector, its assigned centroid).  This is the
+    cluster-quality / prototypicality table that SemDeDup-style and
+    SSL-prototype pruning read to pick per-cluster keep rates (Abbas et
+    al. 2023; Sorscher et al. 2022 — public papers).
+
+    Scale shape: centroids broadcast once (driver sample fit, cost
+    independent of table size); ONE streaming assignment pass emits at
+    most ``n_lists`` combined partial rows per batch (sum/min/max/count
+    fold inside the batch); one tiny groupby(cluster_id) finishes.  No
+    quadratic anywhere, no full-table driver state.  Empty clusters are
+    absent (the fixture matches).  f32 final floats per repo
+    convention."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..sources.scale import table_num_rows
+
+    n_rows = table_num_rows(sf_dir, "embeddings")
+    cents = semdedup_centroids(sf_dir, n_rows, n_lists)
+    ref = broadcast(cents)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        _, emb = _batch_matrix(batch)
+        xn = _normalize(emb)
+        sims = xn @ c.T
+        cl = sims.argmax(axis=1)
+        sim = sims[np.arange(len(cl)), cl]
+        k = len(c)
+        n = np.bincount(cl, minlength=k)
+        s = np.zeros(k, np.float64)
+        np.add.at(s, cl, sim)
+        mn = np.full(k, np.inf)
+        np.minimum.at(mn, cl, sim)
+        mx = np.full(k, -np.inf)
+        np.maximum.at(mx, cl, sim)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "cluster_id": pa.array(nz.astype(np.int64)),
+            "p_n": pa.array(n[nz].astype(np.int64)),
+            "p_s": pa.array(s[nz]),
+            "p_min": pa.array(mn[nz]),
+            "p_max": pa.array(mx[nz]),
+        })
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("cluster_id")
+           .aggregate(Sum("p_n", alias_name="n"),
+                      Sum("p_s", alias_name="s"),
+                      Min("p_min", alias_name="mn"),
+                      Max("p_max", alias_name="mx")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "cluster_id" not in t.column_names or not len(t):
+            z64 = pa.array([], pa.int64())
+            zf = pa.array([], pa.float32())
+            return pa.table({"cluster_id": z64, "n": z64, "mean_sim": zf,
+                             "min_sim": zf, "max_sim": zf})
+        n = t.column("n").to_numpy().astype(np.float64)
+        return pa.table({
+            "cluster_id": t.column("cluster_id").cast(pa.int64()),
+            "n": t.column("n").cast(pa.int64()),
+            "mean_sim": pa.array(
+                (t.column("s").to_numpy() / n).astype(np.float32)),
+            "min_sim": pa.array(
+                t.column("mn").to_numpy().astype(np.float32)),
+            "max_sim": pa.array(
+                t.column("mx").to_numpy().astype(np.float32)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

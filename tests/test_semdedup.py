@@ -79,3 +79,26 @@ def test_semdedup_threshold_respected(ray_session, tmp_path):
     got = (q_embedding_semdedup(sf).to_pandas()
            .sort_values("vec_id").reset_index(drop=True))
     assert got.keep.tolist() == [1, 0, 1, 1]
+
+
+def test_cluster_stats_consistent_with_semdedup(ray_session):
+    """cluster_stats and semdedup share the centroid spec: per-cluster
+    member counts must agree, sims must sit in [-1, 1], and min <=
+    mean <= max."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.similarity import (
+        q_embedding_cluster_stats, q_embedding_semdedup)
+
+    sf = "/root/testdata/sf0.001"
+    stats = (q_embedding_cluster_stats(sf).to_pandas()
+             .sort_values("cluster_id").reset_index(drop=True))
+    sd = q_embedding_semdedup(sf).to_pandas()
+    counts = (sd.groupby("cluster_id").size().rename("n_sd")
+              .reset_index().sort_values("cluster_id")
+              .reset_index(drop=True))
+    m = stats.merge(counts, on="cluster_id", how="outer")
+    assert not m.isna().any().any()
+    assert (m.n == m.n_sd).all()
+    assert int(m.n.sum()) == len(sd)
+    assert ((m.min_sim <= m.mean_sim + 1e-6)
+            & (m.mean_sim <= m.max_sim + 1e-6)).all()
+    assert (m.max_sim <= 1.0 + 1e-6).all() and (m.min_sim >= -1.0 - 1e-6).all()
