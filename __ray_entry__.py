@@ -418,6 +418,13 @@ def _w_embedding_cluster_stats(sf_dir: str):
     return similarity.q_embedding_cluster_stats(sf_dir)
 
 
+def _w_embedding_pca(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    _aux(sf_dir, "pca")
+    return similarity.q_embedding_pca(sf_dir)
+
+
 def _w_media_features(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
 
@@ -565,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
         "embedding_cluster_stats": _w_embedding_cluster_stats,  # SQL-checked
         # (fixture: loop-style per-pair np.dot recompute over the spec)
+        "embedding_pca": _w_embedding_pca,  # SQL-checked (fixture: the
+        # integer moment sums are order-exact, so both sides derive the
+        # identical covariance; projections recomputed per-row)
         # --- multimodal plumbing (images use the REAL PNG codec on the
         # png_roundtrip path, audio the REAL WAV codec on the
         # wav_roundtrip path, FAKE1 elsewhere; ALL SQL-checked via
@@ -737,6 +747,7 @@ def _sql_registry() -> dict[str, str]:
         "embedding_semdedup": f"SELECT * FROM {aux.format(name='semdedup')}",
         "embedding_cluster_stats":
             f"SELECT * FROM {aux.format(name='cluster_stats')}",
+        "embedding_pca": f"SELECT * FROM {aux.format(name='pca')}",
         "media_features":
             f"SELECT * FROM {aux.format(name='media_features')}",
         "media_wav_roundtrip":

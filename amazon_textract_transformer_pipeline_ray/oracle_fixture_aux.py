@@ -818,6 +818,37 @@ def _expected_cluster_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def _expected_pca(sf_dir: str) -> pa.Table:
+    """Single-process PCA: integer moment sums accumulated row-by-row
+    (exact, so they match the engine's distributed sums bit-for-bit),
+    ``pca_components`` imported as the shared spec, projections
+    recomputed with per-row dots."""
+    from .pipelines.similarity import PCA_SCALE, pca_components
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    d = m.shape[1]
+    ss = np.zeros((d, d), np.int64)
+    sq = np.zeros(d, np.int64)
+    for row in m:
+        q = np.rint(row * PCA_SCALE).astype(np.int64)
+        ss += np.outer(q, q)
+        sq += q
+    mean, comps = pca_components(sq, ss, len(ids))
+    pc1, pc2 = [], []
+    for row in m:
+        c = row - mean
+        pc1.append(np.float32(np.dot(c, comps[:, 0])))
+        pc2.append(np.float32(np.dot(c, comps[:, 1])))
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "pc1": pa.array(pc1, pa.float32()),
+                     "pc2": pa.array(pc2, pa.float32())})
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -835,6 +866,7 @@ def _builders() -> dict:
         "dup_pairs_lsh": _expected_dup_pairs_lsh,
         "semdedup": _expected_semdedup,
         "cluster_stats": _expected_cluster_stats,
+        "pca": _expected_pca,
         "media_features": _expected_media_features,
         "media_wav": _expected_media_wav,
         "media_bundle": _expected_media_bundle,

@@ -690,3 +690,96 @@ def q_embedding_cluster_stats(sf_dir: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding column — the dimensionality-
+# reduction / whitening front end of embedding-based curation (cluster
+# visualization, D4-style diversity pruning).  The second-moment
+# accumulation is INTEGER-EXACT: embeddings are quantized to
+# round(x * PCA_SCALE) int64, so the distributed sums are arrival-order
+# free and the derived covariance is bit-deterministic — the same
+# "shared spec" convention as the IVF centroids (the oracle fixture
+# imports ``pca_components`` and recomputes only the accumulation +
+# projection loop-style).
+
+PCA_SCALE = 1 << 16  # q*q <= 2^32 -> int64 sums safe to ~2^31 rows;
+#                       beyond that raise the shard combine, not SCALE
+PCA_K = 2
+
+
+def pca_components(sq: np.ndarray, ss: np.ndarray, n: int,
+                   k: int = PCA_K) -> tuple[np.ndarray, np.ndarray]:
+    """(mean (d,), components (d, k)) from the EXACT integer sums
+    ``sq = sum q_i`` and ``ss = sum q_i q_i^T``: covariance -> eigh ->
+    top-k eigenvectors (descending eigenvalue), each sign-fixed so its
+    largest-|entry| coordinate is positive.  Pure deterministic math —
+    identical input ints give identical output bits."""
+    sqf = sq.astype(np.float64) / n / PCA_SCALE
+    cov = ss.astype(np.float64) / n / (PCA_SCALE * PCA_SCALE) \
+        - np.outer(sqf, sqf)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :k].copy()
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return sqf, comps
+
+
+def pca_model(sf_dir: str, k: int = PCA_K) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed model fit: per-batch integer moment partials exploded
+    to (key, v) rows -> ONE tiny groupby(key) sum (<= d^2 + d + 1 rows
+    reach the driver, independent of corpus size)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_matrix(t.column("embedding"), len(t))
+        q = np.rint(m * PCA_SCALE).astype(np.int64)
+        d = q.shape[1]
+        ss = q.T @ q
+        sq = q.sum(axis=0)
+        key = np.concatenate([np.arange(d * d, dtype=np.int64),
+                              d * d + np.arange(d, dtype=np.int64),
+                              [d * d + d]])
+        v = np.concatenate([ss.ravel(), sq, [len(t)]])
+        return pa.table({"key": pa.array(key), "v": pa.array(v)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("key").aggregate(Sum("v", alias_name="s"))).to_pandas()
+    keys = agg["key"].to_numpy()
+    vals = agg["s"].to_numpy().astype(np.int64)
+    top = int(keys.max())
+    d = int(round((top - 1) ** 0.5)) if top > 1 else 0
+    # top = d*d + d -> solve d
+    d = int((-1 + (1 + 4 * top) ** 0.5) / 2)
+    flat = np.zeros(d * d + d + 1, np.int64)
+    flat[keys] = vals
+    ss = flat[:d * d].reshape(d, d)
+    sq = flat[d * d:d * d + d]
+    n = int(flat[-1])
+    return pca_components(sq, ss, n, k)
+
+
+def q_embedding_pca(sf_dir: str, k: int = PCA_K) -> rd.Dataset:
+    """Per-vector projection onto the corpus's top-k principal
+    components: (vec_id, pc1, pc2) f32.  Scale shape: one integer-exact
+    moment pass (tiny groupby), one broadcast of the (d, k) model, one
+    streaming projection pass."""
+    mean, comps = pca_model(sf_dir, k)
+    ref = broadcast((mean, comps))
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, c = ray.get(ref)
+        ids, emb = _batch_matrix(t)
+        y = (emb - mu) @ c
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "pc1": pa.array(y[:, 0].astype(np.float32)),
+            "pc2": pa.array(y[:, 1].astype(np.float32)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=4096)

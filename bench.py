@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_lm_score_shuffled",
     "doc_gopher_quality",
+    "doc_repetition",
+    "doc_dsir_weights",
     "corpus_preprocess",
 ]
 

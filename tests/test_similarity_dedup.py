@@ -237,3 +237,72 @@ def test_dedup_ngram_corpus_small(ray_session, tmp_path):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
     assert out["cleaned_md5"].tolist() == [
         md5("pre post"), md5(""), md5("u0 u1 u2 u3 u4 u5 u6 u7")]
+
+
+# ---------------------------------------------------------------- PCA
+
+def _write_embeddings(tmp_path, m):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(m), np.int32)),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_pca_recovers_dominant_axis(ray_session, tmp_path):
+    """Data stretched 10x along a known direction: pc1 must align with
+    it (|corr| ~ 1) and carry (much) more variance than pc2."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.similarity import (
+        q_embedding_pca)
+
+    rng = np.random.default_rng(3)
+    d, n = 8, 400
+    axis = np.zeros(d)
+    axis[2] = 1.0
+    coef = rng.normal(size=n)
+    m = 0.05 * rng.normal(size=(n, d)) + np.outer(coef, axis) * 0.5
+    sf = _write_embeddings(tmp_path, m)
+    out = (q_embedding_pca(sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    corr = np.corrcoef(out.pc1, coef)[0, 1]
+    assert abs(corr) > 0.99
+    assert out.pc1.var() > 5 * out.pc2.var()
+
+
+def test_pca_batchsize_invariant(ray_session, tmp_path):
+    """Integer moment sums are arrival-order free: different batch
+    sizes yield bit-identical components and projections."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.similarity import (
+        PCA_SCALE, pca_components, q_embedding_pca)
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(300, 6))
+    sf = _write_embeddings(tmp_path, m)
+    a = (q_embedding_pca(sf).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (q_embedding_pca(sf).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert (a.pc1.to_numpy() == b.pc1.to_numpy()).all()
+    assert (a.pc2.to_numpy() == b.pc2.to_numpy()).all()
+    # and the spec itself is exact: driver-side single-shot recompute
+    mm = np.array([np.asarray(r, np.float32) for r in
+                   __import__("pyarrow.parquet", fromlist=["read_table"])
+                   .read_table(sf + "/embeddings.parquet")
+                   .column("embedding").to_pylist()], dtype=np.float64)
+    q = np.rint(mm * PCA_SCALE).astype(np.int64)
+    mean, comps = pca_components(q.sum(axis=0), q.T @ q, len(q))
+    y = (mm - mean) @ comps
+    assert (a.pc1.to_numpy() == y[:, 0].astype(np.float32)).all()
