@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score_shuffled": scoring.q_doc_lm_score_shuffled,  # SQL-checked
         "vocab_top": scoring.q_vocab_top,  # SQL-checked
         "doc_dsir_weights": scoring.q_doc_dsir_weights,  # SQL-checked
+        "token_heavy_hitters": scoring.q_token_heavy_hitters,  # SQL-checked
         "corpus_preprocess": preprocess.q_corpus_preprocess,  # SQL-checked
         # --- dedup suite (SQL-checked: DuckDB directly where expressible,
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
@@ -655,7 +656,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
         DOMAIN_MIX_SQL, SAMPLE_K_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
-        DSIR_SQL, LM_SCORE_SQL, VOCAB_TOP_SQL)
+        DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL, VOCAB_TOP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.preprocess import (
         CORPUS_PREPROCESS_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
@@ -1281,6 +1282,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_lm_score": LM_SCORE_SQL,
         "vocab_top": VOCAB_TOP_SQL,
         "doc_dsir_weights": DSIR_SQL,
+        "token_heavy_hitters": HEAVY_HITTERS_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

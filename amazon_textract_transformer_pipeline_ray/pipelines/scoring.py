@@ -444,3 +444,126 @@ DSIR_SQL = r"""
            CAST(COALESCE(s.s, 0.0) AS REAL) AS dsir_logw
     FROM documents d LEFT JOIN sums s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters with a sketch-bounded candidate pass (Misra-Gries
+# guarantee; Misra & Gries 1982, Agarwal et al. 2013 "Mergeable
+# Summaries" — public papers): per batch, retain bigrams with
+# count_b > B_b / HH_K — exactly the retention bound a k=HH_K
+# Misra-Gries sketch guarantees (the batch is materialized anyway, so
+# the exact per-batch counts make the literal sequential counter dance
+# unnecessary; the unit tests pin the equivalence).  With
+# HH_K = 2 * ceil(1/HH_PHI), ANY globally phi-heavy bigram exceeds the
+# bound in at least one batch (pigeonhole: otherwise its total count
+# <= N/HH_K = phi*N/2 < ceil(phi*N)) — so the candidate union is a
+# PROVABLE superset of the heavy set, and after the exact recount the
+# output EQUALS the plain SQL ``HAVING count >= ceil(phi * N)``.
+# That's what makes an approximate-sketch operator directly
+# SQL-oracle-checkable.
+#
+# Scale shape: candidates per batch <= HH_K (plus slack from the exact
+# bound), the candidate union is a tiny distinct groupby, the recount
+# pass probes a broadcast sorted candidate array (searchsorted) and
+# folds integer partials through one tiny groupby.  Driver state is
+# O(candidates), never O(vocab).
+
+HH_PHI = 0.001  # heaviness threshold (share of all bigram positions)
+HH_K = 2 * int(np.ceil(1.0 / HH_PHI))
+
+
+def _batch_bigrams(texts: list[str]) -> np.ndarray:
+    """Flat object array of space-joined bigrams for a batch."""
+    out = []
+    for t in texts:
+        toks = _tokens(t)
+        if len(toks) >= 2:
+            s = pd.Series(toks, dtype=object)
+            out.append((s.iloc[:-1].reset_index(drop=True) + " "
+                        + s.iloc[1:].reset_index(drop=True)).to_numpy())
+    if not out:
+        return np.empty(0, dtype=object)
+    return np.concatenate(out)
+
+
+def q_token_heavy_hitters(sf_dir: str,
+                          phi: float = HH_PHI) -> pa.Table:
+    """Corpus bigram heavy hitters: (token, n, share) for every bigram
+    with count >= ceil(phi * N) — sketch-bounded candidate pass +
+    exact recount, provably identical to the exhaustive groupby (see
+    section comment)."""
+    from ray.data.aggregate import Sum
+
+    k = 2 * int(np.ceil(1.0 / phi))
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        g = _batch_bigrams(t.column("text").to_pylist())
+        if not len(g):
+            return pa.table({"w": pa.array([], pa.string())})
+        u, c = np.unique(g, return_counts=True)
+        keep = c > (len(g) / k)  # the MG retention bound
+        return pa.table({"w": pa.array(list(u[keep]), pa.string())})
+
+    cand_rows = (ds.map_batches(candidates, batch_format="pyarrow",
+                                batch_size=4096)
+                 .groupby("w").count().to_pandas())
+    cand = np.sort(cand_rows["w"].to_numpy().astype(object)) \
+        if len(cand_rows) else np.empty(0, dtype=object)
+    ref = broadcast(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cv = ray.get(ref)
+        g = _batch_bigrams(t.column("text").to_pylist())
+        total = len(g)
+        if not len(g) or not len(cv):
+            return pa.table({"cw": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64()),
+                             "p_n": pa.array([total], pa.int64())
+                             if total else pa.array([], pa.int64())})
+        ix = np.searchsorted(cv, g)
+        ix[ix >= len(cv)] = len(cv) - 1
+        hit = cv[ix] == g
+        cnt = np.bincount(ix[hit], minlength=len(cv))
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "cw": pa.array([str(cv[i]) for i in nz] + ["\x00total"],
+                           pa.string()),
+            "p_c": pa.array(np.concatenate([cnt[nz], [0]])),
+            "p_n": pa.array(np.concatenate(
+                [np.zeros(len(nz), np.int64), [total]])),
+        })
+
+    agg = (ds.map_batches(recount, batch_format="pyarrow", batch_size=4096)
+           .groupby("cw").aggregate(Sum("p_c", alias_name="c"),
+                                    Sum("p_n", alias_name="nn"))
+           .to_pandas())
+    if not len(agg):
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "share": pa.array([], pa.float64())})
+    n_total = int(agg["nn"].sum())
+    agg = agg[agg["cw"] != "\x00total"]
+    thresh = int(np.ceil(phi * n_total))
+    heavy = agg[agg["c"] >= thresh].sort_values("cw")
+    c = heavy["c"].to_numpy().astype(np.int64)
+    return pa.table({
+        "token": pa.array(heavy["cw"].tolist(), pa.string()),
+        "n": pa.array(c),
+        "share": pa.array(c / np.float64(n_total)),
+    })
+
+
+HEAVY_HITTERS_SQL = r"""
+    WITH tok AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents WHERE trim(text) <> ''),
+    g AS (SELECT array_to_string(ts[r.i:r.i+1], ' ') AS w
+          FROM tok, unnest(range(1, len(ts))) AS r(i)),
+    tc AS (SELECT w, COUNT(*) AS c FROM g GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc)
+    SELECT tc.w AS token, CAST(tc.c AS BIGINT) AS n,
+           CAST(tc.c AS DOUBLE) / tot.n AS share
+    FROM tc, tot
+    WHERE tc.c >= CAST(ceil(0.001 * tot.n) AS BIGINT)
+"""

@@ -153,3 +153,55 @@ def test_dsir_ranks_target_language_higher(ray_session):
     mean_en = m[m.lang == "en"].dsir_logw.mean()
     mean_other = m[m.lang != "en"].dsir_logw.mean()
     assert mean_en > mean_other
+
+
+# -------------------------------------------------- heavy hitters
+
+def test_heavy_hitters_matches_exhaustive(ray_session, tmp_path):
+    """Crafted corpus where the per-batch retention bound actually
+    prunes (many singleton bigrams, few heavy ones): the sketch+recount
+    output must equal the exhaustive count filter."""
+    from collections import Counter
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        q_token_heavy_hitters)
+
+    rng = np.random.default_rng(17)
+    texts = []
+    # heavy: "hot pair" repeated; noise: unique bigrams
+    texts += ["hot pair"] * 40
+    for i in range(400):
+        texts.append(f"u{i}a u{i}b u{i}c")
+    texts += ["warm duo"] * 10
+    rng.shuffle(texts)
+    sf = _write(tmp_path, texts)
+    phi = 0.02
+    got = q_token_heavy_hitters(sf, phi=phi).to_pandas()
+
+    grams = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks) - 1):
+            grams[" ".join(toks[i:i + 2])] += 1
+    n = sum(grams.values())
+    thresh = int(np.ceil(phi * n))
+    exp = sorted((w, c) for w, c in grams.items() if c >= thresh)
+    assert list(zip(got.token, got.n)) == exp
+    assert "hot pair" in set(got.token)
+    # the retention bound must have pruned: candidate superset < vocab
+    assert len(got) < len(grams)
+
+
+def test_heavy_hitters_guarantee_under_batch_splits(ray_session, tmp_path):
+    """A phi-heavy bigram spread thinly across many docs (so no single
+    doc is hot) still survives the candidate pass — the pigeonhole
+    guarantee of the k = 2/phi bound."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        q_token_heavy_hitters)
+
+    texts = []
+    for i in range(200):
+        texts.append(f"spread out filler{i} x{i} y{i}")
+    sf = _write(tmp_path, texts)
+    got = q_token_heavy_hitters(sf, phi=0.1).to_pandas()
+    assert set(got.token) == {"spread out"}
