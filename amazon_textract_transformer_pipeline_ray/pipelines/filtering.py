@@ -270,8 +270,10 @@ def q_doc_repetition(sf_dir: str) -> rd.Dataset:
     streaming ``map_batches`` — no shuffle, no driver state — so the
     shape holds at any corpus size."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    # 1024-doc batches: enough tasks to pack the CPUs even on a 5k-row
+    # bench table (see BASELINE.md's small-corpus parallelism note)
     return ds.map_batches(repetition_batch, batch_format="pyarrow",
-                          batch_size=2048)
+                          batch_size=1024)
 
 
 def q_doc_gopher_quality(sf_dir: str) -> rd.Dataset:

@@ -364,7 +364,7 @@ def _dsir_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
                          "p_tgt": pa.array(tgt[nz]),
                          "p_raw": pa.array(raw[nz])})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=1024)
            .groupby("b").aggregate(Sum("p_tgt", alias_name="tc"),
                                    Sum("p_raw", alias_name="rc")))
     tgt = np.zeros(DSIR_BUCKETS, np.int64)
@@ -408,7 +408,7 @@ def q_doc_dsir_weights(sf_dir: str) -> rd.Dataset:
             "dsir_logw": pa.array(logw.astype(np.float32)),
         })
 
-    return docs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=1024)
 
 
 DSIR_SQL = r"""
@@ -473,17 +473,22 @@ HH_K = 2 * int(np.ceil(1.0 / HH_PHI))
 
 
 def _batch_bigrams(texts: list[str]) -> np.ndarray:
-    """Flat object array of space-joined bigrams for a batch."""
-    out = []
-    for t in texts:
-        toks = _tokens(t)
-        if len(toks) >= 2:
-            s = pd.Series(toks, dtype=object)
-            out.append((s.iloc[:-1].reset_index(drop=True) + " "
-                        + s.iloc[1:].reset_index(drop=True)).to_numpy())
-    if not out:
+    """Flat object array of space-joined bigrams for a batch: one
+    flattened token stream, doc seams masked vectorized (the
+    ``_dsir_features`` shape) — no per-document Series construction."""
+    tok_lists = [_tokens(t) for t in texts]
+    n = len(texts)
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total < 2:
         return np.empty(0, dtype=object)
-    return np.concatenate(out)
+    flat = np.empty(total, dtype=object)
+    flat[:] = [w for ws in tok_lists for w in ws]
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    same = doc[1:] == doc[:-1]
+    s = pd.Series(flat)
+    return (s.iloc[:-1].reset_index(drop=True) + " "
+            + s.iloc[1:].reset_index(drop=True)).to_numpy()[same]
 
 
 def q_token_heavy_hitters(sf_dir: str,
@@ -506,7 +511,7 @@ def q_token_heavy_hitters(sf_dir: str,
         return pa.table({"w": pa.array(list(u[keep]), pa.string())})
 
     cand_rows = (ds.map_batches(candidates, batch_format="pyarrow",
-                                batch_size=4096)
+                                batch_size=1024)
                  .groupby("w").count().to_pandas())
     cand = np.sort(cand_rows["w"].to_numpy().astype(object)) \
         if len(cand_rows) else np.empty(0, dtype=object)
@@ -534,7 +539,7 @@ def q_token_heavy_hitters(sf_dir: str,
                 [np.zeros(len(nz), np.int64), [total]])),
         })
 
-    agg = (ds.map_batches(recount, batch_format="pyarrow", batch_size=4096)
+    agg = (ds.map_batches(recount, batch_format="pyarrow", batch_size=1024)
            .groupby("cw").aggregate(Sum("p_c", alias_name="c"),
                                     Sum("p_n", alias_name="nn"))
            .to_pandas())
