@@ -522,6 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": events.q_events_top_users,
         "events_type_stats": events.q_events_type_stats,
         "events_sliding_window": events.q_events_sliding_window,
+        "events_hll_users": events.q_events_hll_users,  # SQL-checked
+        # (the whole sketch is restated in SQL — md5 registers, harmonic
+        # mean, linear-counting branch)
         # --- corpus management (SQL-checked) ---
         "doc_train_test_split": corpus.q_doc_train_test_split,
         "doc_sample_stratified": corpus.q_doc_sample_stratified,
@@ -594,6 +597,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RAW unmerged chunks with DuckDB read_json ---
         "api_paged_blocks": _w_api_paged_blocks,  # SQL-checked
     }
+
+
+def _hll_users_sql() -> str:
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        HLL_USERS_SQL)
+
+    return HLL_USERS_SQL
 
 
 def _paged_sql() -> str:
@@ -1263,6 +1273,7 @@ def _sql_registry() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
+        "events_hll_users": _hll_users_sql(),
         "events_sliding_window": f"""
             WITH w AS (
                 SELECT unnest([

@@ -336,3 +336,123 @@ def q_events_type_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return per_pair.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-user sketch (Flajolet et al. 2007, public paper)
+# — bounded-memory distinct counting, the canonical mergeable sketch:
+# per-batch register partials (<= n_types x HLL_M rows each) merge
+# through one tiny groupby MAX — at any corpus size the exchange
+# carries register rows, never user ids.  The md5-prefix hash makes the
+# sketch bit-reproducible in DuckDB, so the oracle is a DIRECT SQL
+# restatement of the whole sketch (registers, harmonic mean, and the
+# linear-counting small-range branch).  At the bench scales both
+# branches are live: 150 users/type -> linear counting, 1500 (sf0.1)
+# -> the raw HLL estimator.  No 32-bit large-range correction (the
+# hash space is 60-bit).  Estimate column is f32 per repo convention.
+
+HLL_B = 8
+HLL_M = 1 << HLL_B           # 256 registers
+_HLL_WMASK = (1 << 52) - 1   # 60-bit hash = 8 register bits + 52 rank bits
+HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+
+
+def _hll_rows(types: np.ndarray, users: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(event_type, reg, rho) register observations, pre-maxed per
+    (type, reg) within the batch.  md5 runs once per distinct user id
+    in the batch."""
+    import hashlib
+
+    if not len(users):
+        z = np.zeros(0, np.int64)
+        return np.empty(0, dtype=object), z, z
+    codes, uniq_u = pd.factorize(users)
+    h = np.fromiter(
+        (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+         for u in uniq_u), dtype=np.int64, count=len(uniq_u))[codes]
+    reg = h >> 52
+    w = h & _HLL_WMASK
+    rho = np.where(w > 0,
+                   52 - np.floor(np.log2(np.maximum(w, 1))).astype(np.int64),
+                   53).astype(np.int64)
+    tcodes, uniq_t = pd.factorize(types)
+    key = (tcodes.astype(np.int64) * HLL_M + reg)
+    order = np.argsort(key, kind="mergesort")
+    ks, rs = key[order], rho[order]
+    new = np.concatenate([[True], ks[1:] != ks[:-1]])
+    seg = np.cumsum(new) - 1
+    mx = np.zeros(seg[-1] + 1 if len(seg) else 0, np.int64)
+    np.maximum.at(mx, seg, rs)
+    kk = ks[new]
+    return uniq_t[kk // HLL_M], kk % HLL_M, mx
+
+
+def q_events_hll_users(sf_dir: str) -> pa.Table:
+    """Approximate distinct users per event type via a 256-register
+    HyperLogLog: (event_type, n_users_hll).  See section comment for
+    the scale shape and the exact-SQL-oracle argument."""
+    from ray.data.aggregate import Max
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et, reg, rho = _hll_rows(
+            np.asarray(t.column("event_type").to_pylist(), dtype=object),
+            t.column("user_id").to_numpy())
+        return pa.table({
+            "event_type": pa.array(list(et), pa.string()),
+            "reg": pa.array(reg),
+            "p_rho": pa.array(rho),
+        })
+
+    regs = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+            .groupby(["event_type", "reg"])
+            .aggregate(Max("p_rho", alias_name="m"))
+            .to_pandas())
+    out_t, out_e = [], []
+    for et, g in regs.groupby("event_type"):
+        mvals = g["m"].to_numpy().astype(np.float64)
+        nset = len(mvals)
+        hsum = float(np.sum(np.power(2.0, -mvals))) + (HLL_M - nset) * 1.0
+        e_raw = HLL_ALPHA * HLL_M * HLL_M / hsum
+        if e_raw <= 2.5 * HLL_M and (HLL_M - nset) > 0:
+            est = HLL_M * np.log(HLL_M / float(HLL_M - nset))
+        else:
+            est = e_raw
+        out_t.append(et)
+        out_e.append(np.float32(est))
+    order = np.argsort(np.asarray(out_t, dtype=object))
+    return pa.table({
+        "event_type": pa.array([out_t[i] for i in order], pa.string()),
+        "n_users_hll": pa.array([out_e[i] for i in order], pa.float32()),
+    })
+
+
+HLL_USERS_SQL = r"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events),
+    rr AS (SELECT event_type, hv // 4503599627370496 AS reg,
+                  CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                       ELSE 52 - CAST(floor(log2(hv % 4503599627370496))
+                                      AS BIGINT)
+                  END AS rho
+           FROM h),
+    regs AS (SELECT event_type, reg, MAX(rho) AS m FROM rr GROUP BY 1, 2),
+    est AS (SELECT event_type,
+                   SUM(power(2.0, -m)) + (256 - COUNT(*)) * 1.0 AS hsum,
+                   256 - COUNT(*) AS nzero
+            FROM regs GROUP BY event_type),
+    raw AS (SELECT event_type, nzero,
+                   (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0 / hsum
+                       AS e_raw
+            FROM est)
+    SELECT event_type,
+           CAST(CASE WHEN e_raw <= 640.0 AND nzero > 0
+                     THEN 256.0 * ln(256.0 / nzero)
+                     ELSE e_raw END AS REAL) AS n_users_hll
+    FROM raw
+"""
