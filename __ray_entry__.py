@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": relational.q_orders_lineitem_join,
         "customers_with_open_orders": relational.q_customers_with_open_orders,
         "customers_without_orders": relational.q_customers_without_orders,
+        "orders_rank_per_customer": relational.q_orders_rank_per_customer,
         # --- events / stream-shaped (SQL-checked) ---
         "events_hourly": events.q_events_hourly,
         "events_sessionize": events.q_events_sessionize,
@@ -523,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": events.q_events_type_stats,
         "events_sliding_window": events.q_events_sliding_window,
         "events_hll_users": events.q_events_hll_users,  # SQL-checked
+        "events_range_join_orders": events.q_events_range_join_orders,
         # (the whole sketch is restated in SQL — md5 registers, harmonic
         # mean, linear-counting branch)
         # --- corpus management (SQL-checked) ---
@@ -852,6 +854,28 @@ def _sql_registry() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)
             GROUP BY c.c_nationkey
+        """,
+        "orders_rank_per_customer": """
+            WITH r AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders)
+            SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk,
+                   o_orderkey, o_totalprice
+            FROM r WHERE rnk <= 3
+        """,
+        "events_range_join_orders": f"""
+            SELECT o.o_orderkey,
+                   CAST(COUNT(e.user_id) AS BIGINT) AS n_events,
+                   CAST(COALESCE(SUM({cents.format(col='e.value')}), 0)
+                        AS DOUBLE) / 100.0 AS sum_value
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey
         """,
         "events_hourly": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -456,3 +456,126 @@ HLL_USERS_SQL = r"""
                      ELSE e_raw END AS REAL) AS n_users_hll
     FROM raw
 """
+
+
+# ---------------------------------------------------------------------------
+# Range join: per order, aggregate the same user's events inside a fixed
+# time interval after the order — the third of the custom-join trio
+# (as-of join above, sliding window in q_events_sliding_window).
+
+RANGE_JOIN_DAYS = 7
+
+
+def q_events_range_join_orders(sf_dir: str,
+                               n_buckets: int | None = None) -> rd.Dataset:
+    """Range (interval) join, both-sides-big: for every order, the count
+    and exact-cents sum of events with ``user_id = o_custkey`` and
+    ``o_orderdate <= ts < o_orderdate + 7 days``.
+
+    Plan: ONE hash-bucket shuffle of the union (same user-key bucketing
+    as the bucketed as-of join — neither side is broadcast, per-bucket
+    memory bounded by sources/scale.py sizing).  Inside each bucket the
+    kernel is fully vectorized: events get within-user cumulative
+    (count, cents) prefixes, then TWO ``merge_asof`` probes — strictly
+    before the window start and strictly before the window end — turn
+    every per-order interval aggregate into a prefix difference.  Sums
+    are int64 cents end-to-end, so results are bit-identical to the SQL
+    oracle's LEFT JOIN.  Orders with no in-window events are kept with
+    zero counts (LEFT JOIN semantics)."""
+    from ..sources.scale import shuffle_width, table_num_rows
+
+    if n_buckets is None:
+        n_rows = (table_num_rows(sf_dir, "events")
+                  + table_num_rows(sf_dir, "orders"))
+        n_buckets = shuffle_width(n_rows=n_rows, rows_per_shard=262144)
+    window_us = RANGE_JOIN_DAYS * 24 * 3600 * 1_000_000
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user": batch["o_custkey"].cast(pa.int64()),
+            "ts_us": pa.array(batch["o_orderdate"]
+                              .to_numpy(zero_copy_only=False)
+                              .astype("datetime64[us]").astype(np.int64)),
+            "okey": batch["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user": batch["user_id"].cast(pa.int64()),
+            "ts_us": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
+                              .astype("datetime64[us]").astype(np.int64)),
+            "okey": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "cents": pa.array(_cents(batch["value"])),
+        })
+
+    unioned = (orders.map_batches(order_rows, batch_format="pyarrow",
+                                  batch_size=65536)
+               .union(events.map_batches(event_rows, batch_format="pyarrow",
+                                         batch_size=65536)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        users = batch.column("user").to_numpy().astype(np.uint64)
+        b = ((users * np.uint64(0x9E3779B1)) % np.uint64(2**32)
+             % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def range_agg(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["okey"] >= 0]
+        if len(o) == 0:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "sum_cents": pd.Series([], dtype=np.int64)})
+        e = g[g["okey"] < 0]
+        # within-user prefix (count, cents) in (user, ts) order; rows with
+        # equal ts collapse onto the LAST row, which merge_asof picks
+        ev = e.sort_values(["user", "ts_us"], kind="mergesort")
+        cum_n = ev.groupby("user").cumcount().to_numpy() + 1
+        cum_c = ev.groupby("user")["cents"].cumsum().to_numpy()
+        probe = pd.DataFrame({
+            "user": ev["user"].to_numpy(),
+            "ts_us": ev["ts_us"].to_numpy(),
+            "cum_n": cum_n.astype(np.int64),
+            "cum_c": cum_c.astype(np.int64),
+        }).sort_values("ts_us", kind="mergesort")
+
+        def prefix_at(ts: np.ndarray, users: np.ndarray) -> tuple:
+            """(count, cents) of the user's events STRICTLY before ts."""
+            left = pd.DataFrame({"user": users, "ts_us": ts}).sort_values(
+                "ts_us", kind="mergesort")
+            left["_ix"] = np.arange(len(left))
+            m = pd.merge_asof(left, probe, on="ts_us", by="user",
+                              direction="backward",
+                              allow_exact_matches=False)
+            m = m.sort_values("_ix", kind="mergesort")
+            return (m["cum_n"].fillna(0).to_numpy().astype(np.int64),
+                    m["cum_c"].fillna(0).to_numpy().astype(np.int64))
+
+        ou = o["user"].to_numpy()
+        start = o["ts_us"].to_numpy()
+        n0, c0 = prefix_at(start, ou)
+        n1, c1 = prefix_at(start + window_us, ou)
+        return pd.DataFrame({
+            "o_orderkey": o["okey"].to_numpy(),
+            "n_events": n1 - n0,
+            "sum_cents": c1 - c0,
+        })
+
+    per_order = (unioned.map_batches(add_bucket, batch_format="pyarrow",
+                                     batch_size=65536)
+                 .groupby("bucket").map_groups(range_agg,
+                                               batch_format="pandas"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "n_events": t["n_events"],
+            "sum_value": pa.array(
+                t["sum_cents"].to_numpy().astype(np.float64) / 100.0),
+        })
+
+    return per_order.map_batches(finish, batch_format="pyarrow")

@@ -341,3 +341,41 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int32),
                              "n_customers": pd.Series([], dtype=np.int64)})
     return out
+
+
+def q_orders_rank_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Distributed window function: ``ROW_NUMBER() OVER (PARTITION BY
+    o_custkey ORDER BY o_totalprice DESC, o_orderkey)`` kept to the
+    top-``k`` rows per customer.
+
+    Plan (the per-group top-k pattern at 100 TB): a per-batch COMBINER
+    keeps only each customer's local top-``k`` (pandas sort + head), so
+    the ``groupby(o_custkey)`` shuffle moves at most ``k`` rows per
+    (customer, batch) instead of every order; the per-group finisher
+    merges the partials and stamps the rank.  No global sort, no driver
+    materialization — the result stays a Dataset of ~k x |customers|
+    rows.  Ordering is comparison-only on the raw doubles (ties broken
+    by o_orderkey asc), so the result is deterministic and bit-identical
+    to the SQL window."""
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("o_custkey").head(k),
+                                    preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("o_custkey")
+            .map_groups(finish, batch_format="pandas"))
