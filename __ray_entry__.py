@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         filtering,
         graph,
+        index_build,
         multimodal,
         preprocess,
         relational,
@@ -552,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top": scoring.q_vocab_top,  # SQL-checked
         "doc_dsir_weights": scoring.q_doc_dsir_weights,  # SQL-checked
         "token_heavy_hitters": scoring.q_token_heavy_hitters,  # SQL-checked
+        "token_postings": index_build.q_token_postings,  # SQL-checked
+        "doc_tfidf_top_terms": index_build.q_doc_tfidf_top_terms,  # SQL-checked
         "corpus_preprocess": preprocess.q_corpus_preprocess,  # SQL-checked
         # --- dedup suite (SQL-checked: DuckDB directly where expressible,
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
@@ -671,6 +674,8 @@ def _sql_registry() -> dict[str, str]:
         DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL, VOCAB_TOP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.preprocess import (
         CORPUS_PREPROCESS_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
+        POSTINGS_SQL, TFIDF_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1318,6 +1323,8 @@ def _sql_registry() -> dict[str, str]:
         "vocab_top": VOCAB_TOP_SQL,
         "doc_dsir_weights": DSIR_SQL,
         "token_heavy_hitters": HEAVY_HITTERS_SQL,
+        "token_postings": POSTINGS_SQL,
+        "doc_tfidf_top_terms": TFIDF_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,
