@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heavy_hitters": scoring.q_token_heavy_hitters,  # SQL-checked
         "token_postings": index_build.q_token_postings,  # SQL-checked
         "doc_tfidf_top_terms": index_build.q_doc_tfidf_top_terms,  # SQL-checked
+        "bm25_scores": index_build.q_bm25_scores,  # SQL-checked
         "corpus_preprocess": preprocess.q_corpus_preprocess,  # SQL-checked
         # --- dedup suite (SQL-checked: DuckDB directly where expressible,
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
@@ -675,7 +676,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.preprocess import (
         CORPUS_PREPROCESS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
-        POSTINGS_SQL, TFIDF_SQL)
+        BM25_SQL, POSTINGS_SQL, TFIDF_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1325,6 +1326,7 @@ def _sql_registry() -> dict[str, str]:
         "token_heavy_hitters": HEAVY_HITTERS_SQL,
         "token_postings": POSTINGS_SQL,
         "doc_tfidf_top_terms": TFIDF_SQL,
+        "bm25_scores": BM25_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

@@ -208,3 +208,142 @@ TFIDF_SQL = r"""
            w AS token, tf, df, score
     FROM r WHERE rnk <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson/Sparck Jones; Lucene's non-negative
+# idf variant): lexical retrieval over the corpus for a deterministic
+# query-by-example set — the retrieval-side complement of the embedding
+# kNN suite (and the scoring kernel BM25-based decontamination uses).
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 5
+
+
+def q_bm25_scores(sf_dir: str) -> rd.Dataset:
+    """BM25 score of every (query, document) pair with term overlap.
+
+    Queries are the distinct-token sets of the first ``BM25_N_QUERIES``
+    documents by doc_id (query-by-example; query_id = example doc_id).
+    Corpus statistics (df model, N, avg doc length) come from the same
+    distributed reductions as the TF-IDF op; the query-term table and
+    the df arrays broadcast once (both vocab-bounded small sides), and
+    scoring is ONE streaming pass — per batch, a dense
+    (docs-in-batch x n_queries) partial-sum matrix via ``np.add.at``,
+    emitted sparse (overlap > 0 only).  No shuffle, no driver loops.
+
+    Float convention: each per-term factor is an identical f64 op chain
+    in both engines; the per-(q,d) SUM is order-sensitive, so ``score``
+    is f32 (REAL) per the repo convention.  ``n_overlap`` is exact."""
+    vocab, dfs = _df_model(sf_dir)
+    n_docs = float(table_num_rows(sf_dir, "documents"))
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    # total token count -> avg_len (exact: int sum / int count, one division)
+    def len_rows(t: pa.Table) -> pa.Table:
+        _, _, _, lens = _batch_doc_token_counts(t.column("text").to_pylist())
+        return pa.table({"n": pa.array(lens)})
+
+    total_tokens = float(docs.map_batches(
+        len_rows, batch_format="pyarrow", batch_size=8192).sum("n") or 0.0)
+    avg_len = total_tokens / n_docs
+
+    # query-by-example term sets: tiny driver read of the example docs
+    # (smallest BM25_N_QUERIES doc_ids; footer-pruned two-column read)
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    all_ids = qtab.column("doc_id").to_numpy()
+    pick = np.argsort(all_ids, kind="mergesort")[:BM25_N_QUERIES]
+    q_texts = [qtab.column("text")[int(i)].as_py() for i in pick]
+    toks, qix, _, _ = _batch_doc_token_counts(q_texts)
+    q_ids = all_ids[pick].astype(np.int64)
+    q_order = np.argsort(toks, kind="mergesort")
+    q_terms = toks[q_order]          # sorted distinct (term, query) pairs
+    q_term_qix = qix[q_order]
+    ref = broadcast((vocab, dfs, q_terms, q_term_qix, q_ids))
+
+    def score(t: pa.Table) -> pa.Table:
+        v, d, qt, qq, qids = ray.get(ref)
+        toks_b, dix, tf, lens = _batch_doc_token_counts(
+            t.column("text").to_pylist())
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_overlap": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float32()),
+        })
+        if not len(toks_b) or not len(qt):
+            return empty
+        # match batch (doc, term, tf) rows against the query-term table:
+        lo = np.searchsorted(qt, toks_b, side="left")
+        hi = np.searchsorted(qt, toks_b, side="right")
+        n_match = hi - lo                      # queries containing the term
+        keep = np.flatnonzero(n_match > 0)
+        if not len(keep):
+            return empty
+        # per-term BM25 factor (identical op chain to the SQL oracle):
+        df_t = d[np.searchsorted(v, toks_b[keep])].astype(np.float64)
+        idf = np.log(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+        tf_k = tf[keep].astype(np.float64)
+        len_d = lens[dix[keep]].astype(np.float64)
+        factor = idf * ((tf_k * (BM25_K1 + 1.0))
+                        / (tf_k + BM25_K1
+                           * ((1.0 - BM25_B) + BM25_B * (len_d / avg_len))))
+        # fan each matched term out to its queries -> (doc, query) sums
+        reps = n_match[keep]
+        flat_q = qq[np.concatenate([np.arange(l, h)
+                                    for l, h in zip(lo[keep], hi[keep])])]
+        flat_doc = np.repeat(dix[keep], reps)
+        flat_f = np.repeat(factor, reps)
+        n_q = len(qids)
+        sums = np.zeros((len(t), n_q), np.float64)
+        cnts = np.zeros((len(t), n_q), np.int64)
+        np.add.at(sums, (flat_doc, flat_q), flat_f)
+        np.add.at(cnts, (flat_doc, flat_q), 1)
+        r, c = np.nonzero(cnts)
+        return pa.table({
+            "query_id": pa.array(qids[c]),
+            "doc_id": pa.array(ids[r]),
+            "n_overlap": pa.array(cnts[r, c]),
+            "score": pa.array(sums[r, c].astype(np.float32)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+BM25_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''),
+    dt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+           FROM dt GROUP BY doc_id),
+    dfs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY w),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    avgl AS (SELECT (SELECT CAST(SUM(len) AS DOUBLE) FROM dl) / stats.n
+                 AS avg_len, stats.n AS n FROM stats),
+    qt AS (SELECT doc_id AS query_id, w FROM tok
+           WHERE doc_id IN (SELECT doc_id FROM documents
+                            ORDER BY doc_id LIMIT 5)
+           GROUP BY doc_id, w)
+    SELECT qt.query_id, dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(SUM(
+               ln(1.0 + ((avgl.n - CAST(dfs.df AS DOUBLE)) + 0.5)
+                        / (CAST(dfs.df AS DOUBLE) + 0.5))
+               * ((CAST(dt.tf AS DOUBLE) * 2.2)
+                  / (CAST(dt.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.len AS DOUBLE)
+                                             / avgl.avg_len))))
+           ) AS REAL) AS score
+    FROM qt
+    JOIN dt USING (w)
+    JOIN dfs USING (w)
+    JOIN dl ON dl.doc_id = dt.doc_id, avgl
+    GROUP BY qt.query_id, dt.doc_id
+"""

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "doc_dsir_weights",
     "corpus_preprocess",
+    "events_range_join_orders",
+    "token_postings",
 ]
 
 
