@@ -526,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": events.q_events_sliding_window,
         "events_hll_users": events.q_events_hll_users,  # SQL-checked
         "events_range_join_orders": events.q_events_range_join_orders,
+        "events_funnel": events.q_events_funnel,
         # (the whole sketch is restated in SQL — md5 registers, harmonic
         # mean, linear-counting branch)
         # --- corpus management (SQL-checked) ---
@@ -544,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": text.q_doc_dedup_exact,
         "doc_quality": text.q_doc_quality,
         "doc_length_quantiles": text.q_doc_length_quantiles,
+        "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
         "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
         "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
@@ -677,6 +679,8 @@ def _sql_registry() -> dict[str, str]:
         CORPUS_PREPROCESS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
         BM25_SQL, POSTINGS_SQL, TFIDF_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        FUNNEL_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -980,6 +984,16 @@ def _sql_registry() -> dict[str, str]:
                     AS vs
                 FROM documents)
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(vs) AS value
+            FROM a
+        """,
+        "doc_length_quantiles_by_lang": """
+            WITH a AS (
+                SELECT lang,
+                       quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99])
+                    AS vs
+                FROM documents GROUP BY lang)
+            SELECT lang, unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vs) AS value
             FROM a
         """,
@@ -1327,6 +1341,7 @@ def _sql_registry() -> dict[str, str]:
         "token_postings": POSTINGS_SQL,
         "doc_tfidf_top_terms": TFIDF_SQL,
         "bm25_scores": BM25_SQL,
+        "events_funnel": FUNNEL_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

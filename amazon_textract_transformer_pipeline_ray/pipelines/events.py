@@ -579,3 +579,78 @@ def q_events_range_join_orders(sf_dir: str,
         })
 
     return per_order.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: per-user ordered-stage progression counts.
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 3600 * 1_000_000  # 1h conversion window per stage
+
+
+def q_events_funnel(sf_dir: str) -> rd.Dataset:
+    """3-stage ordered funnel over the event log: per user, the deepest
+    prefix of ``view -> click -> purchase`` completed in STRICT time
+    order with a 1-hour conversion window per stage (stage k counts only
+    if an event of that type occurs strictly after — and within one hour
+    of — the user's earliest completion time of stage k-1); output is
+    users-per-depth.
+
+    Plan: one ``groupby(user_id)`` shuffle (the sessionize exchange);
+    the per-user kernel is a vectorized min-over-mask scan per stage —
+    no sorting needed, no driver state.  All values are integers, so
+    the SQL oracle matches exactly."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def depth(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        d = 0
+        prev = None
+        for stage in FUNNEL_STAGES:
+            mask = et == stage
+            if prev is not None:
+                mask &= (ts > prev) & (ts <= prev + FUNNEL_WINDOW_US)
+            cand = ts[mask]
+            if not len(cand):
+                break
+            prev = cand.min()
+            d += 1
+        return pd.DataFrame({"stage": [d], "p_users": [1]})
+
+    agg = (ds.groupby("user_id").map_groups(depth, batch_format="pandas")
+           .groupby("stage").aggregate(Sum("p_users", alias_name="n_users")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"stage": t["stage"].cast(pa.int64()),
+                         "n_users": t["n_users"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+FUNNEL_SQL = r"""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+           GROUP BY e.user_id),
+    d AS (SELECT u.user_id,
+                 CASE WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS stage
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN s1 ON s1.user_id = u.user_id
+          LEFT JOIN s2 ON s2.user_id = u.user_id
+          LEFT JOIN s3 ON s3.user_id = u.user_id)
+    SELECT CAST(stage AS BIGINT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY stage
+"""

@@ -116,7 +116,8 @@ def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
         lo = int(np.floor(h))
         hi = min(lo + 1, n - 1)
         frac = h - lo
-        v = value_at(lo) + frac * (value_at(hi) - value_at(lo))
+        # DuckDB's exact op order: (1-f)*lo + f*hi (bit-identical)
+        v = (1.0 - frac) * value_at(lo) + frac * value_at(hi)
         rows.append((q, v))
     return pd.DataFrame(rows, columns=["q", "value"])
 
@@ -303,3 +304,50 @@ def q_doc_langid(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", batch_size=8192,
                           concurrency=(1, 4))
+
+
+def q_doc_length_quantiles_by_lang(sf_dir: str) -> rd.Dataset:
+    """GROUPED exact quantiles (quantile_cont semantics) of document
+    length per language — the per-group twin of
+    ``q_doc_length_quantiles``, still with no global sort: per-batch
+    (lang, value) counts ride ONE lang-keyed shuffle, and each group's
+    small distinct-value histogram is reduced and interpolated inside
+    ``map_groups``.  The shuffle moves one row per (lang, distinct
+    length, batch) — never a row per document — and no histogram ever
+    reaches the driver."""
+    ds = read_table(sf_dir, "documents", ["lang", "n_chars"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "value": batch.column("n_chars").to_numpy().astype(np.int64),
+        })
+        g = df.groupby(["lang", "value"], as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "value": pa.array(g["value"].to_numpy()),
+                         "p_cnt": pa.array(g["size"].to_numpy()
+                                           .astype(np.int64))})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g.groupby("value", as_index=False)["p_cnt"].sum()
+             .sort_values("value"))
+        values = h["value"].to_numpy(dtype=np.float64)
+        cum = h["p_cnt"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+
+        def value_at(ix: int) -> float:
+            return float(values[np.searchsorted(cum, ix + 1)])
+
+        rows = []
+        for q in QUANTILES:
+            hpos = (n - 1) * q
+            lo = int(np.floor(hpos))
+            hi = min(lo + 1, n - 1)
+            frac = hpos - lo
+            # DuckDB's exact op order: (1-f)*lo + f*hi (bit-identical)
+            rows.append((g["lang"].iloc[0], q,
+                         (1.0 - frac) * value_at(lo) + frac * value_at(hi)))
+        return pd.DataFrame(rows, columns=["lang", "q", "value"])
+
+    return (ds.map_batches(counts, batch_format="pyarrow", batch_size=65536)
+            .groupby("lang").map_groups(finish, batch_format="pandas"))

@@ -149,3 +149,35 @@ def test_rank_per_customer_ties_and_k(ray_session, tmp_path):
     assert c1.o_orderkey.tolist() == [14, 11, 12]
     assert c1.rnk.tolist() == [1, 2, 3]
     assert got[got.o_custkey == 2].rnk.tolist() == [1]
+
+
+def test_funnel_window_and_order(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        q_events_funnel)
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    h = pd.Timedelta(hours=1)
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        # user 1: full funnel, click exactly AT +1h (inclusive), purchase in
+        (1, t0, "view"), (1, t0 + h, "click"), (1, t0 + h + us, "purchase"),
+        # user 2: click misses the window by 1us -> depth 1
+        (2, t0, "view"), (2, t0 + h + us, "click"),
+        # user 3: purchase BEFORE click -> order violation, depth 2
+        (3, t0, "view"), (3, t0 + us, "purchase"), (3, t0 + 2 * us, "click"),
+        # user 4: no view at all -> depth 0
+        (4, t0, "click"), (4, t0 + us, "purchase"),
+        # user 5: click at the SAME instant as view (not strictly after)
+        (5, t0, "view"), (5, t0, "click"),
+    ]
+    _write(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "ts": [r[1] for r in rows],
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "event_type": [r[2] for r in rows],
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = (q_events_funnel(str(tmp_path)).to_pandas()
+           .set_index("stage")["n_users"].to_dict())
+    assert got == {3: 1, 1: 2, 2: 1, 0: 1}
