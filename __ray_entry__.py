@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": events.q_events_hll_users,  # SQL-checked
         "events_range_join_orders": events.q_events_range_join_orders,
         "events_funnel": events.q_events_funnel,
+        "events_cohort_retention": events.q_events_cohort_retention,
         # (the whole sketch is restated in SQL — md5 registers, harmonic
         # mean, linear-counting branch)
         # --- corpus management (SQL-checked) ---
@@ -546,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.q_doc_quality,
         "doc_length_quantiles": text.q_doc_length_quantiles,
         "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
+        "doc_length_percentile": text.q_doc_length_percentile,
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
         "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
         "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
@@ -680,7 +682,9 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
         BM25_SQL, POSTINGS_SQL, TFIDF_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.events import (
-        FUNNEL_SQL)
+        COHORT_SQL, FUNNEL_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.text import (
+        LENGTH_PCT_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1342,6 +1346,8 @@ def _sql_registry() -> dict[str, str]:
         "doc_tfidf_top_terms": TFIDF_SQL,
         "bm25_scores": BM25_SQL,
         "events_funnel": FUNNEL_SQL,
+        "events_cohort_retention": COHORT_SQL,
+        "doc_length_percentile": LENGTH_PCT_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

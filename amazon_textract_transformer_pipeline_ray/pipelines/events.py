@@ -654,3 +654,64 @@ FUNNEL_SQL = r"""
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM d GROUP BY stage
 """
+
+
+def q_events_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention over the event log: users grouped by first-seen
+    week (the cohort), counted per whole-week offset at which they were
+    active again.  Output: (cohort_week, week_offset, n_users).
+
+    Plan: ONE ``groupby(user_id)`` shuffle; the per-user kernel derives
+    the first-seen timestamp and the user's distinct active-week
+    offsets vectorized (integer floor-division on epoch-days — the
+    same arithmetic the SQL oracle states), then a tiny combiner
+    groupby counts users per (cohort, offset).  Weeks are anchored at
+    the epoch (1970-01-05, a Monday — ``date_trunc('week')``
+    semantics), and the offset is full 7-day periods since the user's
+    FIRST event, so everything is exact integer math."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = ts.min()
+        day_us = 24 * 3600 * 1_000_000
+        # Monday-anchored week of the first event (epoch day 4 = Monday
+        # 1970-01-05; DuckDB's date_trunc('week') anchor)
+        first_week_day = ((first // day_us - 4) // 7) * 7 + 4
+        offsets = np.unique((ts // day_us - first_week_day) // 7)
+        return pd.DataFrame({
+            "cohort_week": np.full(len(offsets), first_week_day * day_us
+                                   ).astype("datetime64[us]"),
+            "week_offset": offsets.astype(np.int64),
+            "p_users": np.ones(len(offsets), np.int64),
+        })
+
+    agg = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("p_users", alias_name="n_users")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": t["cohort_week"],
+            "week_offset": t["week_offset"],
+            "n_users": t["n_users"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+COHORT_SQL = r"""
+    WITH f AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    w AS (
+        SELECT e.user_id,
+               date_trunc('week', f.first_ts) AS cohort_week,
+               (CAST(epoch(date_trunc('day', e.ts)) AS BIGINT)
+                - CAST(epoch(date_trunc('week', f.first_ts)) AS BIGINT))
+                   // 604800 AS week_offset
+        FROM events e JOIN f USING (user_id)
+        GROUP BY 1, 2, 3)
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM w GROUP BY cohort_week, week_offset
+"""

@@ -351,3 +351,55 @@ def q_doc_length_quantiles_by_lang(sf_dir: str) -> rd.Dataset:
 
     return (ds.map_batches(counts, batch_format="pyarrow", batch_size=65536)
             .groupby("lang").map_groups(finish, batch_format="pandas"))
+
+
+def q_doc_length_percentile(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide percent_rank of every document's length — the
+    global-CDF window function computed WITHOUT a global sort: the
+    distinct-value count histogram (one tiny keyed shuffle, same
+    reduction as the quantile ops) is broadcast back, and a second
+    streaming pass ranks each doc with one vectorized ``searchsorted``.
+    ``pct = (count of strictly smaller values) / (n - 1)`` — one exact
+    integer count and ONE f64 division, bit-identical to the SQL
+    window."""
+    import ray
+
+    from ..sources.tables import broadcast
+
+    ds = read_table(sf_dir, "documents", ["n_chars"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(batch.column("n_chars").to_numpy(),
+                               return_counts=True)
+        return pa.table({"value": pa.array(vals.astype(np.int64)),
+                         "p_cnt": pa.array(cnts.astype(np.int64))})
+
+    hist = (ds.map_batches(counts, batch_format="pyarrow", batch_size=65536)
+            .groupby("value").aggregate(Sum("p_cnt", alias_name="cnt"))
+            .to_pandas().sort_values("value").reset_index(drop=True))
+    values = hist["value"].to_numpy(dtype=np.int64)
+    below = np.concatenate([[0], hist["cnt"].to_numpy(np.int64).cumsum()[:-1]])
+    n = int(hist["cnt"].sum())
+    ref = broadcast((values, below))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        v, b = ray.get(ref)
+        x = batch.column("n_chars").to_numpy()
+        smaller = b[np.searchsorted(v, x)]
+        pct = (smaller.astype(np.float64) / (n - 1) if n > 1
+               else np.zeros(len(x)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "length_pct": pa.array(pct),
+        })
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return docs.map_batches(rank, batch_format="pyarrow", batch_size=65536)
+
+
+LENGTH_PCT_SQL = """
+    SELECT doc_id, n_chars,
+           percent_rank() OVER (ORDER BY n_chars) AS length_pct
+    FROM documents
+"""
