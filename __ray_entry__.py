@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_orders": events.q_events_range_join_orders,
         "events_funnel": events.q_events_funnel,
         "events_cohort_retention": events.q_events_cohort_retention,
+        "events_user_gaps": events.q_events_user_gaps,
         # (the whole sketch is restated in SQL — md5 registers, harmonic
         # mean, linear-counting branch)
         # --- corpus management (SQL-checked) ---
@@ -682,7 +683,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
         BM25_SQL, POSTINGS_SQL, TFIDF_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.events import (
-        COHORT_SQL, FUNNEL_SQL)
+        COHORT_SQL, FUNNEL_SQL, USER_GAPS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.text import (
         LENGTH_PCT_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
@@ -1347,6 +1348,7 @@ def _sql_registry() -> dict[str, str]:
         "bm25_scores": BM25_SQL,
         "events_funnel": FUNNEL_SQL,
         "events_cohort_retention": COHORT_SQL,
+        "events_user_gaps": USER_GAPS_SQL,
         "doc_length_percentile": LENGTH_PCT_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,

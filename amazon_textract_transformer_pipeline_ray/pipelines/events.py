@@ -715,3 +715,55 @@ COHORT_SQL = r"""
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM w GROUP BY cohort_week, week_offset
 """
+
+
+def q_events_user_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event gap statistics (the LAG-window op): for
+    each user, the number of events, and the count / exact-integer sum
+    / max / mean of the microsecond gaps between consecutive events in
+    timestamp order.  Output: (user_id, n_events, n_gaps, sum_gap_us,
+    max_gap_us, avg_gap_us).
+
+    Plan: ONE ``groupby(user_id)`` shuffle (the sessionize exchange);
+    the per-user kernel sorts the user's timestamps once and takes a
+    vectorized ``np.diff`` — no window-function state, no driver state.
+    The gap multiset of a sorted timestamp list is order-unique even
+    under duplicate timestamps (ties diff to zero either way), so the
+    result is deterministic.  Sums are exact int64; ``avg_gap_us`` is
+    ONE f64 division of exact integers, bit-identical to the oracle's
+    ``CAST(sum AS DOUBLE)/n`` — no f32 downcast needed."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        d = np.diff(ts)
+        n_gaps = len(d)
+        s = int(d.sum()) if n_gaps else 0
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [len(ts)],
+            "n_gaps": [n_gaps],
+            "sum_gap_us": [s],
+            "max_gap_us": [int(d.max()) if n_gaps else 0],
+            "avg_gap_us": [float(s) / n_gaps if n_gaps else 0.0],
+        })
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+USER_GAPS_SQL = r"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+           CASE WHEN COUNT(gap) > 0
+                THEN CAST(COALESCE(SUM(gap), 0) AS DOUBLE) / COUNT(gap)
+                ELSE 0.0 END AS avg_gap_us
+    FROM g GROUP BY user_id
+"""

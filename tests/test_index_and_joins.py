@@ -181,3 +181,35 @@ def test_funnel_window_and_order(ray_session, tmp_path):
     got = (q_events_funnel(str(tmp_path)).to_pandas()
            .set_index("stage")["n_users"].to_dict())
     assert got == {3: 1, 1: 2, 2: 1, 0: 1}
+
+
+def test_user_gaps_crafted(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        q_events_user_gaps)
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: gaps 1s and 3s (written out of order; ts sort decides)
+        (1, t0 + 4 * s), (1, t0), (1, t0 + s),
+        # user 2: single event -> zero gaps, zero/0.0 stats
+        (2, t0),
+        # user 3: duplicate timestamps -> gaps (0, 2s) regardless of order
+        (3, t0), (3, t0), (3, t0 + 2 * s),
+    ]
+    _write(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "ts": [r[1] for r in rows],
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "event_type": "view",
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = (q_events_user_gaps(str(tmp_path)).to_pandas()
+           .set_index("user_id").sort_index())
+    assert got.loc[1, ["n_events", "n_gaps", "sum_gap_us", "max_gap_us"]] \
+        .tolist() == [3, 2, 4_000_000, 3_000_000]
+    assert got.loc[1, "avg_gap_us"] == 2_000_000.0
+    assert got.loc[2].tolist() == [1, 0, 0, 0, 0.0]
+    assert got.loc[3, ["n_gaps", "sum_gap_us", "max_gap_us"]].tolist() \
+        == [2, 2_000_000, 2_000_000]
