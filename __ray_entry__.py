@@ -425,6 +425,13 @@ def _w_embedding_pca(sf_dir: str):
     return similarity.q_embedding_pca(sf_dir)
 
 
+def _w_vocab_bpe_merges(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import tokenizer
+
+    _aux(sf_dir, "bpe_merges")
+    return tokenizer.q_vocab_bpe_merges(sf_dir)
+
+
 def _w_media_features(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import multimodal
 
@@ -587,6 +594,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
         "embedding_cluster_stats": _w_embedding_cluster_stats,  # SQL-checked
         # (fixture: loop-style per-pair np.dot recompute over the spec)
+        "vocab_bpe_merges": _w_vocab_bpe_merges,  # SQL-checked (fixture:
+        # independent Counter-based Sennrich merge loop over the same
+        # word-type counts — pipelines/tokenizer.py docstring has the
+        # determinism spec)
         "embedding_pca": _w_embedding_pca,  # SQL-checked (fixture: the
         # integer moment sums are order-exact, so both sides derive the
         # identical covariance; projections recomputed per-row)
@@ -776,6 +787,8 @@ def _sql_registry() -> dict[str, str]:
         "embedding_cluster_stats":
             f"SELECT * FROM {aux.format(name='cluster_stats')}",
         "embedding_pca": f"SELECT * FROM {aux.format(name='pca')}",
+        "vocab_bpe_merges":
+            f"SELECT * FROM {aux.format(name='bpe_merges')}",
         "media_features":
             f"SELECT * FROM {aux.format(name='media_features')}",
         "media_wav_roundtrip":

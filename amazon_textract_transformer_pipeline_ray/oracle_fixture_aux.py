@@ -849,6 +849,71 @@ def _expected_pca(sf_dir: str) -> pa.Table:
                      "pc2": pa.array(pc2, pa.float32())})
 
 
+def _expected_bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE merge-rule induction restated as the classic Counter-based
+    Sennrich loop: dict of symbol TUPLES, a per-iteration pair Counter
+    built with ``zip(seq, seq[1:])`` (overlapping, occurrence-weighted),
+    ``min`` over ``(-count, pair)`` for the winner — no flattened
+    arrays, no pandas groupby, no adjacency masks.  Shares only the
+    SPEC constants (pre-tokenizer regex, merge budget, type cap, tie
+    order) with ``pipelines/tokenizer.py``."""
+    import re
+
+    from .pipelines.text import BPE_PATTERN
+    from .pipelines.tokenizer import BPE_MAX_WORD_TYPES, BPE_N_MERGES
+
+    _, texts = _docs(sf_dir)
+    pat = re.compile(BPE_PATTERN)
+    wc: Counter = Counter()
+    for s in texts:
+        wc.update(pat.findall(s))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:BPE_MAX_WORD_TYPES]
+    # Symbol sequences concatenate back to the original word, so
+    # distinct word types stay distinct under merges — tuple keys are
+    # collision-free.
+    vocab: dict[tuple, int] = {tuple(w): c for w, c in top}
+
+    ranks, lefts, rights, mergeds, pcounts = [], [], [], [], []
+    for rank in range(1, BPE_N_MERGES + 1):
+        pairs: Counter = Counter()
+        for seq, c in vocab.items():
+            for p in zip(seq, seq[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        (left, right), best = min(pairs.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+        ranks.append(rank)
+        lefts.append(left)
+        rights.append(right)
+        mergeds.append(left + right)
+        pcounts.append(int(best))
+        new_vocab: dict[tuple, int] = {}
+        for seq, c in vocab.items():
+            if len(seq) > 1:
+                out: list[str] = []
+                i = 0
+                while i < len(seq):
+                    if (i + 1 < len(seq) and seq[i] == left
+                            and seq[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = tuple(out)
+            new_vocab[seq] = c
+        vocab = new_vocab
+    return pa.table({
+        "merge_rank": pa.array(ranks, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "merged": pa.array(mergeds, pa.string()),
+        "pair_count": pa.array(pcounts, pa.int64()),
+    })
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -867,6 +932,7 @@ def _builders() -> dict:
         "semdedup": _expected_semdedup,
         "cluster_stats": _expected_cluster_stats,
         "pca": _expected_pca,
+        "bpe_merges": _expected_bpe_merges,
         "media_features": _expected_media_features,
         "media_wav": _expected_media_wav,
         "media_bundle": _expected_media_bundle,

@@ -1,0 +1,165 @@
+"""Distributed BPE tokenizer training over the ``documents`` table:
+the byte-pair-encoding merge-rule induction step (Sennrich et al. 2016,
+the GPT-2 tokenizer's training phase) expressed the way production
+trainers run it at corpus scale.
+
+Two-phase plan:
+
+1. DISTRIBUTED word-type counting — one streaming ``map_batches`` pass
+   (regex pre-tokenization, the shared ``BPE_PATTERN`` spec from
+   ``text.py``) feeding ONE ``groupby(word)`` reduction.  This is the
+   only corpus-sized work, and it is the same vocab-bounded exchange
+   the unigram-LM / vocab-induction ops use: the result has one row
+   per word TYPE, sublinear in corpus size.
+2. DRIVER merge loop over the word-type table — BPE training state is
+   a function of type counts, never of the corpus itself, so after the
+   reduction the classic merge iteration runs on a table capped at
+   ``BPE_MAX_WORD_TYPES`` types (count-desc / word-asc tie-break, so
+   the cap is deterministic under corpus growth).  Per iteration the
+   pair statistics are computed VECTORIZED: symbols flattened to one
+   object array, in-word adjacency mask, weighted pandas groupby —
+   no per-type Python pair loop.
+
+Semantics (mirrored exactly by the independent oracle fixture in
+``oracle_fixture_aux.py``):
+
+* pair counts are occurrence-weighted and OVERLAPPING (``"aaa"``
+  contributes two ``(a,a)`` pairs), the original Sennrich counting;
+* the winning pair is max count, ties broken by lexicographically
+  smallest ``(left, right)``;
+* merge application is greedy left-to-right non-overlapping
+  (``"aaa"`` + merge ``(a,a)`` -> ``("aa", "a")``);
+* training stops early when no adjacent pair remains.
+
+Output: one row per learned merge rule —
+``(merge_rank, left, right, merged, pair_count)`` — deterministic
+integers and strings, hash-comparable across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..sources.tables import read_table
+from .text import _BPE_RE
+
+# Spec constants (shared with the independent oracle fixture).
+BPE_N_MERGES = 48
+BPE_MAX_WORD_TYPES = 20_000
+
+
+def word_type_counts(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed (word type, count) reduction: per-batch regex
+    pre-tokenization + local combiner, one ``groupby(w)`` exchange,
+    vocab-sized arrays back on the driver."""
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t.column("text").to_pylist():
+            toks.extend(_BPE_RE.findall(s))
+        if not toks:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64())})
+        flat = np.empty(len(toks), dtype=object)
+        flat[:] = toks
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"w": pa.array(uniq, pa.string()),
+                         "p_c": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+           .groupby("w").aggregate(Sum("p_c", alias_name="c")))
+    ws, cs = [], []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if "w" in b.column_names and len(b):
+            ws.append(np.asarray(b.column("w").to_pylist(), dtype=object))
+            cs.append(b.column("c").to_numpy())
+    if not ws:
+        return np.empty(0, object), np.zeros(0, np.int64)
+    return np.concatenate(ws), np.concatenate(cs).astype(np.int64)
+
+
+def _merge_seq(seq: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping replacement of the pair."""
+    out: list[str] = []
+    i, n = 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def train_bpe_merges(words: np.ndarray, counts: np.ndarray,
+                     n_merges: int = BPE_N_MERGES,
+                     max_types: int = BPE_MAX_WORD_TYPES) -> pa.Table:
+    """The driver-side merge loop (vocab-bounded — see module
+    docstring).  Pair statistics per iteration are vectorized over a
+    flattened symbol array; only merge APPLICATION scans the affected
+    word types."""
+    if len(words):
+        sel = (pd.DataFrame({"w": words, "c": counts})
+               .sort_values(["c", "w"], ascending=[False, True],
+                            kind="mergesort")
+               .head(max_types))
+        wtypes = sel["w"].tolist()
+        wcounts = sel["c"].to_numpy(np.int64)
+    else:
+        wtypes, wcounts = [], np.zeros(0, np.int64)
+    seqs: list[list[str]] = [list(w) for w in wtypes]
+
+    ranks, lefts, rights, mergeds, pcounts = [], [], [], [], []
+    for rank in range(1, n_merges + 1):
+        lens = np.fromiter((len(s) for s in seqs), np.int64,
+                           count=len(seqs))
+        total = int(lens.sum())
+        if total == 0:
+            break
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for s in seqs:
+            flat[pos:pos + len(s)] = s
+            pos += len(s)
+        wix = np.repeat(np.arange(len(seqs), dtype=np.int64), lens)
+        if total < 2:
+            break
+        in_word = wix[:-1] == wix[1:]
+        if not in_word.any():
+            break
+        stats = (pd.DataFrame({
+            "l": flat[:-1][in_word], "r": flat[1:][in_word],
+            "c": wcounts[wix[:-1][in_word]]})
+            .groupby(["l", "r"], as_index=False, sort=False)["c"].sum()
+            .sort_values(["c", "l", "r"], ascending=[False, True, True],
+                         kind="mergesort"))
+        left, right, best = (stats["l"].iloc[0], stats["r"].iloc[0],
+                             int(stats["c"].iloc[0]))
+        ranks.append(rank)
+        lefts.append(left)
+        rights.append(right)
+        mergeds.append(left + right)
+        pcounts.append(best)
+        for i, s in enumerate(seqs):
+            if len(s) > 1:
+                seqs[i] = _merge_seq(s, left, right)
+    return pa.table({
+        "merge_rank": pa.array(ranks, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "merged": pa.array(mergeds, pa.string()),
+        "pair_count": pa.array(pcounts, pa.int64()),
+    })
+
+
+def q_vocab_bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE merge-rule table learned from the corpus — see module
+    docstring for the two-phase plan and determinism spec."""
+    words, counts = word_type_counts(sf_dir)
+    return train_bpe_merges(words, counts)
