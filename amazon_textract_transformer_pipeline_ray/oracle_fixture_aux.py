@@ -914,6 +914,51 @@ def _expected_bpe_merges(sf_dir: str) -> pa.Table:
     })
 
 
+def _expected_bpe_encode(sf_dir: str) -> pa.Table:
+    """Per-doc BPE piece counts replayed single-process with NO
+    memoization: every pre-token of every doc re-encoded from scratch
+    by rank-order merge replay over the independently-trained rule
+    list (``_expected_bpe_merges``)."""
+    import re
+
+    from .pipelines.text import BPE_PATTERN
+
+    merges = _expected_bpe_merges(sf_dir)
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    ids, texts = _docs(sf_dir)
+    pat = re.compile(BPE_PATTERN)
+
+    def encode_len(word: str) -> int:
+        seq = list(word)
+        for left, right in rules:
+            if len(seq) < 2:
+                break
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    n_pre, n_pieces = [], []
+    for s in texts:
+        words = pat.findall(s)
+        n_pre.append(len(words))
+        n_pieces.append(sum(encode_len(w) for w in words))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_pretokens": pa.array(n_pre, pa.int64()),
+        "n_pieces": pa.array(n_pieces, pa.int64()),
+    })
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -933,6 +978,7 @@ def _builders() -> dict:
         "cluster_stats": _expected_cluster_stats,
         "pca": _expected_pca,
         "bpe_merges": _expected_bpe_merges,
+        "bpe_encode": _expected_bpe_encode,
         "media_features": _expected_media_features,
         "media_wav": _expected_media_wav,
         "media_bundle": _expected_media_bundle,

@@ -163,3 +163,84 @@ def q_vocab_bpe_merges(sf_dir: str) -> pa.Table:
     docstring for the two-phase plan and determinism spec."""
     words, counts = word_type_counts(sf_dir)
     return train_bpe_merges(words, counts)
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE — apply the learned merges to segment the corpus.
+#
+# Spec (mirrored by the independent oracle fixture): each pre-token
+# (``BPE_PATTERN`` word) starts as its character sequence; the learned
+# merges are applied IN RANK ORDER, each with the same greedy
+# left-to-right non-overlapping replacement used during training.  The
+# piece count per document is the sum over its pre-tokens.  This
+# rank-order replay is the unambiguous restatement of the classic
+# lowest-rank-first encoder (they produce identical segmentations,
+# since at any point the lowest-rank applicable merge is the next one
+# replayed whose pair is present).
+#
+# Scale shape: the merge table is O(n_merges) — broadcast once via
+# ``ray.put`` — and encoding is memoized per WORD TYPE in a per-actor
+# cache (actor pool), so per-batch cost is bounded by the distinct
+# types a batch introduces, not its token count.  One streaming pass,
+# zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+class BpeEncoder:
+    """Actor-pool stage: merge rules fetched once in ``__init__``
+    (zero-copy object-store read), word-type piece counts memoized for
+    the actor's lifetime."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        self.merges: list[tuple[str, str]] = ray.get(merges_ref)
+        self.cache: dict[str, int] = {}
+
+    def _pieces(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            seq = list(word)
+            for left, right in self.merges:
+                if len(seq) < 2:
+                    break
+                seq = _merge_seq(seq, left, right)
+            n = self.cache[word] = len(seq)
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_pre = np.zeros(len(texts), np.int64)
+        n_pieces = np.zeros(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            words = _BPE_RE.findall(s)
+            if not words:
+                continue
+            flat = np.empty(len(words), dtype=object)
+            flat[:] = words
+            uniq, cnt = np.unique(flat, return_counts=True)
+            per_type = np.fromiter((self._pieces(w) for w in uniq),
+                                   np.int64, count=len(uniq))
+            n_pre[i] = len(words)
+            n_pieces[i] = int(per_type @ cnt)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_pretokens": pa.array(n_pre),
+            "n_pieces": pa.array(n_pieces),
+        })
+
+
+def q_doc_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Per-document BPE segmentation stats under the corpus-trained
+    merges: ``(doc_id, n_pretokens, n_pieces)``.  Train (two-phase plan
+    above) -> broadcast the rule list -> one streaming encode pass."""
+    from ..sources.tables import broadcast
+
+    merges = q_vocab_bpe_merges(sf_dir)
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    ref = broadcast(rules)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(BpeEncoder, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 4))

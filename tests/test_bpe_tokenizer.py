@@ -95,6 +95,45 @@ def test_pretokenizer_and_distributed_counting(ray_session, tmp_path):
     assert got["pair_count"][:2] == [5, 5]
 
 
+def test_encode_crafted(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.tokenizer import (
+        q_doc_bpe_encode)
+
+    # Word types: "aa"×2, " aa"×2, " ab"×1.  Merge replay:
+    #   1 (a,a)×4  2 (' ','aa')×2  3 (' ','a')×1 [tie: space < 'a']
+    #   4 (' a','b')×1 — then no adjacent pairs remain (early stop
+    # inside the 48-merge budget), so every type is one piece.
+    sf = _write_docs(tmp_path, ["aa aa ab", "aa aa"])
+    got = (q_doc_bpe_encode(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_pretokens"].tolist() == [3, 2]
+    assert got["n_pieces"].tolist() == [3, 2]
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.tokenizer import (
+        q_vocab_bpe_merges)
+
+    merges = q_vocab_bpe_merges(sf).to_pydict()
+    assert list(zip(merges["left"], merges["right"])) == [
+        ("a", "a"), (" ", "aa"), (" ", "a"), (" a", "b")]
+    assert merges["pair_count"] == [4, 2, 1, 1]
+
+
+def test_encode_matches_independent_fixture(ray_session):
+    from amazon_textract_transformer_pipeline_ray.oracle_fixture_aux import (
+        _expected_bpe_encode)
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.tokenizer import (
+        q_doc_bpe_encode)
+
+    want = (_expected_bpe_encode(SF0001).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    got = (q_doc_bpe_encode(SF0001).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(want) > 0 and (want["n_pieces"] > 0).any()
+    # merges compress: piece count strictly between 0 and char count
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_engine_matches_independent_fixture(ray_session):
     from amazon_textract_transformer_pipeline_ray.oracle_fixture_aux import (
         _expected_bpe_merges)
