@@ -491,6 +491,7 @@ def _w_media_png_roundtrip(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from amazon_textract_transformer_pipeline_ray.pipelines import (
+        chunking,
         corpus,
         decontam,
         dedup,
@@ -563,6 +564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": text.q_doc_length_quantiles,
         "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
         "doc_length_percentile": text.q_doc_length_percentile,
+        "doc_stats_rollup": text.q_doc_stats_rollup,  # SQL-checked
+        # (GROUPING SETS oracle)
+        "doc_chunks": chunking.q_doc_chunks,  # SQL-checked (lateral
+        # unnest(range) + substr window replay)
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
         "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
         "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
@@ -705,7 +710,9 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.events import (
         COHORT_SQL, FUNNEL_SQL, USER_GAPS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.text import (
-        LENGTH_PCT_SQL)
+        LENGTH_PCT_SQL, STATS_ROLLUP_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.chunking import (
+        DOC_CHUNKS_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1374,6 +1381,8 @@ def _sql_registry() -> dict[str, str]:
         "events_cohort_retention": COHORT_SQL,
         "events_user_gaps": USER_GAPS_SQL,
         "doc_length_percentile": LENGTH_PCT_SQL,
+        "doc_stats_rollup": STATS_ROLLUP_SQL,
+        "doc_chunks": DOC_CHUNKS_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

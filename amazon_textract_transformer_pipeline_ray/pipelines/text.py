@@ -403,3 +403,60 @@ LENGTH_PCT_SQL = """
            percent_rank() OVER (ORDER BY n_chars) AS length_pct
     FROM documents
 """
+
+
+def q_doc_stats_rollup(sf_dir: str) -> rd.Dataset:
+    """Multi-level aggregation in ONE pass (SQL GROUPING SETS
+    ``(lang, source), (lang), ()``): doc count and total chars at the
+    leaf, per-lang, and grand-total levels.  ``level`` mirrors
+    ``GROUPING(lang)+GROUPING(source)`` (0 leaf / 1 lang / 2 total);
+    rolled-up keys carry the ``'<all>'`` sentinel so the compare never
+    sees NULL group keys.
+
+    Scale shape: each batch pre-aggregates its leaf cells and EXPLODES
+    them to the three rollup keys, so the single tiny groupby exchange
+    carries <= 3x leaf-cell rows per batch — never row-level data."""
+    ds = read_table(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pylist(),
+            "source": t.column("source").to_pylist(),
+            "p_c": t.column("n_chars").to_numpy(),
+        })
+        leaf = (df.groupby(["lang", "source"], as_index=False)
+                .agg(p_n=("p_c", "size"), p_c=("p_c", "sum")))
+        leaf["level"] = 0
+        by_lang = (leaf.groupby("lang", as_index=False)
+                   [["p_n", "p_c"]].sum())
+        by_lang["source"] = "<all>"
+        by_lang["level"] = 1
+        total = pd.DataFrame({
+            "lang": ["<all>"], "source": ["<all>"], "level": [2],
+            "p_n": [leaf["p_n"].sum()], "p_c": [leaf["p_c"].sum()],
+        })
+        out = pd.concat([leaf, by_lang, total], ignore_index=True)
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "level": pa.array(out["level"].astype(np.int64)),
+            "p_n": pa.array(out["p_n"].astype(np.int64)),
+            "p_c": pa.array(out["p_c"].astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["lang", "source", "level"]).aggregate(
+                Sum("p_n", alias_name="n_docs"),
+                Sum("p_c", alias_name="sum_chars")))
+
+
+STATS_ROLLUP_SQL = """
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           CAST(GROUPING(lang) + GROUPING(source) AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+"""
