@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus,
         decontam,
         dedup,
+        incremental,
         events,
         filtering,
         graph,
@@ -590,6 +591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_ngram_corpus": dedup.q_doc_dedup_ngram_corpus,
         "doc_decontaminate": decontam.q_doc_decontaminate,
         "doc_decontaminate_shuffled": decontam.q_doc_decontaminate_shuffled,
+        "doc_dedup_incremental": incremental.q_doc_dedup_incremental,
+        # SQL-checked (two-run persisted-state scenario; the oracle is
+        # the closed-form min-even-else-min-odd survivor rule)
         "minhash_lsh_pairs": _w_minhash_lsh_pairs,
         "simhash": _w_simhash,
         "simhash_pairs": _w_simhash_pairs,
@@ -713,6 +717,8 @@ def _sql_registry() -> dict[str, str]:
         LENGTH_PCT_SQL, STATS_ROLLUP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.chunking import (
         DOC_CHUNKS_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
+        DEDUP_INCREMENTAL_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1383,6 +1389,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_length_percentile": LENGTH_PCT_SQL,
         "doc_stats_rollup": STATS_ROLLUP_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
+        "doc_dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

@@ -1,0 +1,195 @@
+"""Incremental cross-run exact dedup: a persisted seen-hash index so
+successive ingestion runs dedup NEW shards against everything already
+committed — the 100-TB ingestion shape, where re-hashing (let alone
+re-shuffling) the historical corpus per arriving batch is not an option.
+
+State layout (``state_dir``)::
+
+    seen/bucket=BB/run-<run_id>.parquet   (columns: h, doc_id)
+    runs/<run_id>.json                    (commit record + survivor count)
+    survivors/<run_id>.parquet            (the run's output, for rerun replay)
+
+* ``h`` is the md5 hex of the doc text (the ``q_doc_fingerprint``
+  convention); ``bucket`` is the first byte of ``h`` (00..ff scaled to
+  ``n_buckets``), so a probe for one bucket's new hashes reads ONLY that
+  bucket's committed files — per-task state IO is corpus/n_buckets, and
+  the probe parallelism equals the bucket count.
+* A run is visible to later runs only after its ``runs/<run_id>.json``
+  commit record exists; tasks of a crashed run leave bucket files that
+  readers IGNORE (not listed in any commit record), and the rerun
+  overwrites them with identical deterministic content (tmp + atomic
+  rename), so crash-rerun is idempotent end to end.
+* Re-ingesting an already-committed ``run_id`` replays the stored
+  survivor table without touching the corpus (the checkpoint-manifest
+  pattern of ``state/checkpoint.py``, applied to dedup state).
+
+Dataflow per run: hash pass (streaming ``map_batches``) -> ONE
+bucket-keyed ``groupby`` -> per-bucket ``map_groups`` doing in-run
+min-doc_id dedup, the committed-state anti-probe, and the state-file
+append for its own bucket.  The only exchange carries (h, doc_id,
+bucket) rows; no broadcast grows with history.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..sources.tables import read_table
+
+N_BUCKETS = 64  # state fan-out; lookups and probes are per-bucket
+
+
+def _bucket_of(hexes: pd.Series, n_buckets: int) -> np.ndarray:
+    first = hexes.str.slice(0, 2).apply(lambda s: int(s, 16))
+    return (first.to_numpy() * n_buckets // 256).astype(np.int64)
+
+
+def _committed_runs(state_dir: str) -> list[str]:
+    d = os.path.join(state_dir, "runs")
+    if not os.path.isdir(d):
+        return []
+    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+
+def _commit_path(state_dir: str, run_id: str) -> str:
+    return os.path.join(state_dir, "runs", f"{run_id}.json")
+
+
+def _survivor_path(state_dir: str, run_id: str) -> str:
+    return os.path.join(state_dir, "survivors", f"{run_id}.parquet")
+
+
+def _atomic_write_table(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def ingest_run(docs: rd.Dataset, state_dir: str, run_id: str,
+               n_buckets: int = N_BUCKETS) -> pa.Table:
+    """Dedup ``docs`` (columns doc_id, text) against all COMMITTED state
+    in ``state_dir`` plus itself, append the survivors' hashes to the
+    per-bucket state, commit, and return the survivor table
+    ``(doc_id, h)`` sorted by doc_id.
+
+    Already-committed ``run_id`` -> replay of the stored survivors (no
+    corpus read)."""
+    if os.path.exists(_commit_path(state_dir, run_id)):
+        return pq.read_table(_survivor_path(state_dir, run_id))
+    committed = _committed_runs(state_dir)
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hexes = pd.Series(
+            [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts])
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "h": pa.array(hexes, pa.string()),
+            "bucket": pa.array(_bucket_of(hexes, n_buckets)),
+        })
+
+    def probe_and_append(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        # in-run dedup: min doc_id per hash (sort once, first wins)
+        g = (g.sort_values(["h", "doc_id"], kind="mergesort")
+             .drop_duplicates("h", keep="first"))
+        bdir = os.path.join(state_dir, "seen", f"bucket={bucket:02d}")
+        seen: set[str] = set()
+        for rid in committed:
+            p = os.path.join(bdir, f"run-{rid}.parquet")
+            if os.path.exists(p):
+                seen.update(pq.read_table(p, columns=["h"])
+                            .column("h").to_pylist())
+        fresh = g[~g["h"].isin(seen)]
+        _atomic_write_table(
+            pa.table({"h": pa.array(fresh["h"], pa.string()),
+                      "doc_id": pa.array(fresh["doc_id"].to_numpy(np.int64))}),
+            os.path.join(bdir, f"run-{run_id}.parquet"))
+        return fresh[["doc_id", "h"]]
+
+    survivors = (docs.map_batches(hash_batch, batch_format="pyarrow",
+                                  batch_size=8192)
+                 .groupby("bucket")
+                 .map_groups(probe_and_append, batch_format="pandas")
+                 .to_pandas()
+                 .sort_values("doc_id", kind="mergesort")
+                 .reset_index(drop=True))
+    out = pa.table({"doc_id": pa.array(survivors["doc_id"].to_numpy(np.int64)),
+                    "h": pa.array(survivors["h"], pa.string())})
+    _atomic_write_table(out, _survivor_path(state_dir, run_id))
+    os.makedirs(os.path.dirname(_commit_path(state_dir, run_id)),
+                exist_ok=True)
+    tmp = _commit_path(state_dir, run_id) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"run_id": run_id, "n_survivors": out.num_rows,
+                   "prior_runs": committed}, f)
+    os.replace(tmp, _commit_path(state_dir, run_id))
+    return out
+
+
+def q_doc_dedup_incremental(sf_dir: str) -> pa.Table:
+    """Two-run incremental-dedup scenario over the documents table:
+    run A ingests the even doc_ids into a fresh state, run B the odd
+    ones against A's committed state.  Output: every survivor with its
+    hash and the run that admitted it — ``(doc_id, h, run)``.
+
+    Invariant (the SQL oracle): a hash's survivor is the min EVEN
+    doc_id carrying it if any (run 0), else the min odd doc_id (run 1).
+    """
+    import shutil
+    import tempfile
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), "attp_incremental",
+        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def parity(rem: int):
+        import pyarrow.compute as pc
+
+        def f(t: pa.Table) -> pa.Table:
+            par = pc.bit_wise_and(
+                pc.cast(t.column("doc_id"), pa.int64()), 1)
+            return t.filter(pc.equal(par, rem))
+
+        return f
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    run_a = ingest_run(
+        docs.map_batches(parity(0), batch_format="pyarrow",
+                         batch_size=8192), state_dir, "runA")
+    run_b = ingest_run(
+        docs.map_batches(parity(1), batch_format="pyarrow",
+                         batch_size=8192), state_dir, "runB")
+    return pa.table({
+        "doc_id": pa.concat_arrays([run_a.column("doc_id").combine_chunks(),
+                                    run_b.column("doc_id").combine_chunks()]),
+        "h": pa.concat_arrays([run_a.column("h").combine_chunks(),
+                               run_b.column("h").combine_chunks()]),
+        "run": pa.array([0] * run_a.num_rows + [1] * run_b.num_rows,
+                        pa.int64()),
+    })
+
+
+DEDUP_INCREMENTAL_SQL = """
+    WITH h AS (
+        SELECT doc_id, md5(text) AS h, doc_id % 2 AS par FROM documents
+    ), agg AS (
+        SELECT h,
+               MIN(CASE WHEN par = 0 THEN doc_id END) AS m0,
+               MIN(CASE WHEN par = 1 THEN doc_id END) AS m1
+        FROM h GROUP BY h
+    )
+    SELECT CAST(COALESCE(m0, m1) AS BIGINT) AS doc_id, h,
+           CAST(CASE WHEN m0 IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS run
+    FROM agg
+"""
