@@ -22,7 +22,11 @@ table), ``dedup`` (exact / near-dup-cluster / survivor-corpus /
 duplicated-n-gram detection and removal passes over a documents
 table), ``filter`` (corpus-filter passes: Gopher quality, PII scrub,
 decontamination, domain mix, LM scoring, SemDeDup, or the composite
-preprocess verdict table, ``--keep-only`` for the cleaned slice).  This module owns the Ray session
+preprocess verdict table, ``--keep-only`` for the cleaned slice),
+``tokenize`` (corpus BPE merge training / per-doc encoding),
+``chunk`` (overlapping retrieval chunks), ``ingest``
+(incremental-dedup ingestion against a persistent seen-hash state;
+``--run-id`` is the idempotency key).  This module owns the Ray session
 (guarded init); library code never calls ray.init.
 """
 
@@ -107,6 +111,38 @@ def main(argv: list[str] | None = None) -> int:
                          "verdict table (all gates)")
     fl.add_argument("--keep-only", action="store_true",
                     help="preprocess mode: write only rows with keep=1")
+
+    tok = sub.add_parser(
+        "tokenize",
+        help="train corpus BPE merges or encode docs with them")
+    tok.add_argument("--table-dir", required=True,
+                     help="directory holding documents.parquet")
+    tok.add_argument("--dest", required=True, help="destination directory")
+    tok.add_argument("--mode", default="merges",
+                     choices=("merges", "encode"),
+                     help="merges = learn the merge-rule table; encode = "
+                          "per-doc piece counts under the learned rules")
+
+    ch = sub.add_parser(
+        "chunk",
+        help="overlapping retrieval chunks over a documents table")
+    ch.add_argument("--table-dir", required=True,
+                    help="directory holding documents.parquet")
+    ch.add_argument("--dest", required=True, help="destination directory")
+
+    ing = sub.add_parser(
+        "ingest",
+        help="incremental-dedup ingestion of a documents table "
+             "against a persistent seen-hash state")
+    ing.add_argument("--table-dir", required=True,
+                     help="directory holding documents.parquet")
+    ing.add_argument("--state-dir", required=True,
+                     help="dedup state directory (created on first run)")
+    ing.add_argument("--run-id", required=True,
+                     help="idempotency key; a committed run-id replays "
+                          "its stored survivors")
+    ing.add_argument("--dest", default=None,
+                     help="optionally also write the survivor table here")
 
     exp = sub.add_parser(
         "export", help="write a training-data table (task registry)")
@@ -234,6 +270,52 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": args.mode,
                           "rows": rd.read_parquet(args.dest).count(),
                           "dest": args.dest}))
+        return 0
+
+    if args.cmd == "tokenize":
+        import pyarrow.parquet as pq_mod
+        import ray.data as rd
+
+        from .pipelines import tokenizer as tok_mod
+
+        if args.mode == "merges":
+            table = tok_mod.q_vocab_bpe_merges(args.table_dir)
+            os.makedirs(args.dest, exist_ok=True)
+            pq_mod.write_table(
+                table, os.path.join(args.dest, "bpe_merges.parquet"))
+            rows = table.num_rows
+        else:
+            tok_mod.q_doc_bpe_encode(args.table_dir).write_parquet(args.dest)
+            rows = rd.read_parquet(args.dest).count()
+        print(json.dumps({"mode": args.mode, "rows": rows,
+                          "dest": args.dest}))
+        return 0
+
+    if args.cmd == "chunk":
+        import ray.data as rd
+
+        from .pipelines import chunking as ch_mod
+
+        ch_mod.q_doc_chunks(args.table_dir).write_parquet(args.dest)
+        print(json.dumps({"rows": rd.read_parquet(args.dest).count(),
+                          "dest": args.dest}))
+        return 0
+
+    if args.cmd == "ingest":
+        import pyarrow.parquet as pq_mod
+
+        from .pipelines import incremental as inc_mod
+        from .sources.tables import read_table
+
+        docs = read_table(args.table_dir, "documents", ["doc_id", "text"])
+        survivors = inc_mod.ingest_run(docs, args.state_dir, args.run_id)
+        if args.dest:
+            os.makedirs(args.dest, exist_ok=True)
+            pq_mod.write_table(
+                survivors, os.path.join(args.dest, "survivors.parquet"))
+        print(json.dumps({"run_id": args.run_id,
+                          "n_survivors": survivors.num_rows,
+                          "state_dir": args.state_dir}))
         return 0
 
     if args.cmd == "export":

@@ -120,8 +120,11 @@ def ingest_run(docs: rd.Dataset, state_dir: str, run_id: str,
                                   batch_size=8192)
                  .groupby("bucket")
                  .map_groups(probe_and_append, batch_format="pandas")
-                 .to_pandas()
-                 .sort_values("doc_id", kind="mergesort")
+                 .to_pandas())
+    if survivors.empty:  # every hash already seen -> columnless frame
+        survivors = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                  "h": pd.Series(dtype=object)})
+    survivors = (survivors.sort_values("doc_id", kind="mergesort")
                  .reset_index(drop=True))
     out = pa.table({"doc_id": pa.array(survivors["doc_id"].to_numpy(np.int64)),
                     "h": pa.array(survivors["h"], pa.string())})

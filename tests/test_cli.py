@@ -172,3 +172,51 @@ def test_cli_filter_modes(ray_session, tmp_path, capsys):
     assert r["rows"] == len(kept) < n
     assert (kept.keep == 1).all()
     assert 3 not in set(kept.doc_id)
+
+
+def test_cli_tokenize_chunk_ingest(ray_session, tmp_path, capsys):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["low lower lowest", "low low", "x" * 900]),
+    })
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    pq.write_table(docs, str(table_dir / "documents.parquet"))
+
+    dest = str(tmp_path / "merges")
+    assert main(["tokenize", "--table-dir", str(table_dir),
+                 "--dest", dest, "--mode", "merges"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] > 0
+    merges = pd.read_parquet(dest + "/bpe_merges.parquet")
+    assert merges["merge_rank"].tolist() == list(range(1, len(merges) + 1))
+
+    dest = str(tmp_path / "enc")
+    assert main(["tokenize", "--table-dir", str(table_dir),
+                 "--dest", dest, "--mode", "encode"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] == 3
+
+    dest = str(tmp_path / "chunks")
+    assert main(["chunk", "--table-dir", str(table_dir),
+                 "--dest", dest]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] == 5  # 1 + 1 + 3 windows (900 chars / stride 400)
+
+    state = str(tmp_path / "state")
+    assert main(["ingest", "--table-dir", str(table_dir),
+                 "--state-dir", state, "--run-id", "r1",
+                 "--dest", str(tmp_path / "surv")]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_survivors"] == 3
+    # second ingest of the same docs under a new run-id: all seen
+    assert main(["ingest", "--table-dir", str(table_dir),
+                 "--state-dir", state, "--run-id", "r2"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_survivors"] == 0
+    surv = pd.read_parquet(str(tmp_path / "surv" / "survivors.parquet"))
+    assert surv["doc_id"].tolist() == [1, 2, 3]
