@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "corpus_preprocess",
     "events_range_join_orders",
     "token_postings",
+    "doc_chunks",
+    "vocab_bpe_merges",
 ]
 
 
