@@ -144,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--dest", default=None,
                      help="optionally also write the survivor table here")
 
+    cp = sub.add_parser(
+        "compact",
+        help="merge an ingest state's committed run files into one "
+             "base file per bucket")
+    cp.add_argument("--state-dir", required=True,
+                    help="dedup state directory to compact")
+
     exp = sub.add_parser(
         "export", help="write a training-data table (task registry)")
     exp.add_argument("--input", required=True,
@@ -316,6 +323,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id,
                           "n_survivors": survivors.num_rows,
                           "state_dir": args.state_dir}))
+        return 0
+
+    if args.cmd == "compact":
+        from .pipelines import incremental as inc_mod
+
+        print(json.dumps(inc_mod.compact_state(args.state_dir)))
         return 0
 
     if args.cmd == "export":

@@ -139,6 +139,89 @@ def ingest_run(docs: rd.Dataset, state_dir: str, run_id: str,
     return out
 
 
+def compact_state(state_dir: str, n_buckets: int = N_BUCKETS) -> dict:
+    """Merge every bucket's committed run files into one base file per
+    bucket, bounding per-bucket file count (and probe IO) no matter how
+    many runs have been ingested.
+
+    Protocol (crash-safe at every step boundary):
+
+    1. per bucket, union the committed run files -> write
+       ``run-compact<gen>.parquet`` (atomic rename; a crash here leaves
+       orphan files that readers ignore — not in any commit record —
+       and the rerun overwrites them);
+    2. write ``runs/compact<gen>.json`` — the compact generation
+       becomes committed state (a crash before step 3 double-counts
+       hashes across old+new files, harmless for a set-union probe and
+       cleaned up by the next compaction);
+    3. delete the absorbed bucket files and stamp each absorbed run's
+       commit record with ``absorbed_into`` (records are KEPT so
+       ``ingest_run`` replay of an old run_id still short-circuits).
+
+    Distributed: one Ray task per bucket via ``map_batches`` over the
+    bucket ids; the driver only renames/stamps tiny JSON records."""
+    committed = _committed_runs(state_dir)
+    gen = 1 + sum(1 for r in committed if r.startswith("compact"))
+    new_run = f"compact{gen:04d}"
+
+    def compact_bucket(t: pa.Table) -> pa.Table:
+        rows = []
+        for bucket in t.column("bucket").to_pylist():
+            bdir = os.path.join(state_dir, "seen", f"bucket={bucket:02d}")
+            seen: dict[str, int] = {}
+            absorbed = []
+            for rid in committed:
+                p = os.path.join(bdir, f"run-{rid}.parquet")
+                if os.path.exists(p):
+                    part = pq.read_table(p)
+                    for h, d in zip(part.column("h").to_pylist(),
+                                    part.column("doc_id").to_pylist()):
+                        # keep the earliest-committed claim for a hash
+                        seen.setdefault(h, int(d))
+                    absorbed.append(p)
+            if absorbed:
+                hs = sorted(seen)
+                _atomic_write_table(
+                    pa.table({"h": pa.array(hs, pa.string()),
+                              "doc_id": pa.array(
+                                  [seen[h] for h in hs], pa.int64())}),
+                    os.path.join(bdir, f"run-{new_run}.parquet"))
+            rows.append((bucket, len(absorbed), len(seen)))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "n_files_absorbed": pa.array([r[1] for r in rows], pa.int64()),
+            "n_hashes": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    stats = (rd.from_arrow(pa.table(
+        {"bucket": pa.array(range(n_buckets), pa.int64())}))
+        .map_batches(compact_bucket, batch_format="pyarrow", batch_size=4)
+        .to_pandas())
+    # step 2: commit the compact generation
+    os.makedirs(os.path.join(state_dir, "runs"), exist_ok=True)
+    tmp = _commit_path(state_dir, new_run) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"run_id": new_run, "n_survivors": 0,
+                   "compaction": True, "absorbed": committed}, f)
+    os.replace(tmp, _commit_path(state_dir, new_run))
+    # step 3: drop absorbed files, stamp absorbed records
+    for rid in committed:
+        for bucket in range(n_buckets):
+            p = os.path.join(state_dir, "seen", f"bucket={bucket:02d}",
+                             f"run-{rid}.parquet")
+            if os.path.exists(p):
+                os.unlink(p)
+        cp = _commit_path(state_dir, rid)
+        rec = json.load(open(cp))
+        rec["absorbed_into"] = new_run
+        with open(cp + ".tmp", "w") as f:
+            json.dump(rec, f)
+        os.replace(cp + ".tmp", cp)
+    return {"run_id": new_run,
+            "n_files_absorbed": int(stats["n_files_absorbed"].sum()),
+            "n_hashes": int(stats["n_hashes"].sum())}
+
+
 def q_doc_dedup_incremental(sf_dir: str) -> pa.Table:
     """Two-run incremental-dedup scenario over the documents table:
     run A ingests the even doc_ids into a fresh state, run B the odd

@@ -220,3 +220,7 @@ def test_cli_tokenize_chunk_ingest(ray_session, tmp_path, capsys):
     assert r["n_survivors"] == 0
     surv = pd.read_parquet(str(tmp_path / "surv" / "survivors.parquet"))
     assert surv["doc_id"].tolist() == [1, 2, 3]
+
+    assert main(["compact", "--state-dir", state]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_hashes"] == 3 and r["run_id"].startswith("compact")

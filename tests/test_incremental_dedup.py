@@ -86,3 +86,57 @@ def test_matches_oracle_sql(ray_session, tmp_path):
         got[cols].sort_values(cols).reset_index(drop=True),
         want[cols].sort_values(cols).reset_index(drop=True))
     assert (got["run"] == 1).any() and (got["run"] == 0).any()
+
+
+def test_compaction_preserves_semantics(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
+        compact_state)
+
+    state = str(tmp_path / "state")
+    ingest_run(_docs_ds([(1, "a"), (2, "b")]), state, "r1")
+    ingest_run(_docs_ds([(3, "a"), (4, "c")]), state, "r2")
+    ingest_run(_docs_ds([(5, "d")]), state, "r3")
+    res = compact_state(state)
+    assert res["n_hashes"] == 4  # a b c d
+    assert res["n_files_absorbed"] >= 3
+    # bucket dirs hold ONLY the compact generation now
+    seen_dir = os.path.join(state, "seen")
+    files = [f for b in os.listdir(seen_dir)
+             for f in os.listdir(os.path.join(seen_dir, b))]
+    assert files and all("compact" in f for f in files)
+    # post-compaction ingest sees all prior hashes
+    r4 = ingest_run(_docs_ds([(6, "a"), (7, "c"), (8, "e")]), state, "r4")
+    assert r4.to_pydict()["doc_id"] == [8]
+    # replay of an absorbed run still short-circuits to stored survivors
+    r2 = ingest_run(_docs_ds([(99, "zzz")]), state, "r2")
+    assert r2.to_pydict()["doc_id"] == [4]
+
+
+def test_compaction_crash_before_commit_is_ignored(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow.parquet as pq_mod
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
+        compact_state)
+
+    state = str(tmp_path / "state")
+    ingest_run(_docs_ds([(1, "a")]), state, "r1")
+    # crash window: compact bucket files written (step 1) but NO commit
+    # record (step 2) — craft an orphan generation claiming hash "f"
+    h_f = hashlib.md5(b"f").hexdigest()
+    bucket = int(h_f[:2], 16) * 64 // 256
+    bdir = os.path.join(state, "seen", f"bucket={bucket:02d}")
+    os.makedirs(bdir, exist_ok=True)
+    pq_mod.write_table(
+        pa.table({"h": pa.array([h_f]), "doc_id": pa.array([99], pa.int64())}),
+        os.path.join(bdir, "run-compact0001.parquet"))
+    # the orphan is ignored: "f" is NOT seen; committed "a" still is
+    r2 = ingest_run(_docs_ds([(3, "a"), (5, "f")]), state, "r2")
+    assert r2.to_pydict()["doc_id"] == [5]
+    # the compaction rerun absorbs committed state and overwrites the
+    # orphan generation; semantics unchanged afterwards
+    res = compact_state(state)
+    assert res["run_id"] == "compact0001"
+    r3 = ingest_run(_docs_ds([(6, "a"), (7, "f"), (8, "g")]), state, "r3")
+    assert r3.to_pydict()["doc_id"] == [8]
