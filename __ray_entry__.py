@@ -591,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_ngram_corpus": dedup.q_doc_dedup_ngram_corpus,
         "doc_decontaminate": decontam.q_doc_decontaminate,
         "doc_decontaminate_shuffled": decontam.q_doc_decontaminate_shuffled,
+        "corpus_diff": incremental.q_corpus_diff,  # SQL-checked
+        # (FULL OUTER JOIN restatement of the derived-v2 scenario)
         "doc_dedup_incremental": incremental.q_doc_dedup_incremental,
         # SQL-checked (two-run persisted-state scenario; the oracle is
         # the closed-form min-even-else-min-odd survivor rule)
@@ -718,7 +720,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.chunking import (
         DOC_CHUNKS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
-        DEDUP_INCREMENTAL_SQL)
+        CORPUS_DIFF_SQL, DEDUP_INCREMENTAL_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1390,6 +1392,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_stats_rollup": STATS_ROLLUP_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
         "doc_dedup_incremental": DEDUP_INCREMENTAL_SQL,
+        "corpus_diff": CORPUS_DIFF_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

@@ -279,3 +279,108 @@ DEDUP_INCREMENTAL_SQL = """
            CAST(CASE WHEN m0 IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS run
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff — the change-detection primitive between two corpus
+# snapshots (v1, v2): every doc_id classified added / removed / changed /
+# same by content hash.
+#
+# Scale shape: both sides stream through a tagging map_batches into ONE
+# hash exchange keyed on doc_id (the both-sides-big pattern — no
+# broadcast, no join API dependency): per-side hashes ride as sentinel-
+# filled columns, a string MAX aggregate folds each group to one row
+# (md5 hex > "" always), and classification is one vectorized pass.
+#
+# The v2 snapshot here is DERIVED deterministically from the documents
+# table (drop doc_id%5==0, append " v2" to text when doc_id%7==0, add a
+# fresh doc at doc_id+1_000_000 for doc_id%13==0) so the whole scenario
+# is restatable as a DuckDB FULL OUTER JOIN over the same derivation.
+# ---------------------------------------------------------------------------
+
+
+def _diff_hash_rows(side: int):
+    """Tagging kernel: (doc_id, h1, h2) rows with the other side's hash
+    column as the '' sentinel (md5 hex is never empty)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
+        empty = [""] * len(hs)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "h1": pa.array(hs if side == 1 else empty, pa.string()),
+            "h2": pa.array(hs if side == 2 else empty, pa.string()),
+        })
+
+    return f
+
+
+def _derive_v2(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    texts = t.column("text").to_pylist()
+    keep = ids % 5 != 0
+    out_ids, out_texts = [], []
+    for i, (d, s) in enumerate(zip(ids, texts)):
+        if keep[i]:
+            out_ids.append(d)
+            out_texts.append(s + " v2" if d % 7 == 0 else s)
+        if d % 13 == 0:
+            out_ids.append(d + 1_000_000)
+            out_texts.append(f"new doc {d}")
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "text": pa.array(out_texts, pa.string())})
+
+
+def q_corpus_diff(sf_dir: str) -> rd.Dataset:
+    """Diff the documents table against its derived v2 snapshot:
+    ``(doc_id, status)`` with status in added/removed/changed/same."""
+    from ray.data.aggregate import Max
+
+    v1 = read_table(sf_dir, "documents", ["doc_id", "text"])
+    v2 = (read_table(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(_derive_v2, batch_format="pyarrow",
+                       batch_size=8192))
+    tagged = (v1.map_batches(_diff_hash_rows(1), batch_format="pyarrow",
+                             batch_size=8192)
+              .union(v2.map_batches(_diff_hash_rows(2),
+                                    batch_format="pyarrow",
+                                    batch_size=8192)))
+    folded = tagged.groupby("doc_id").aggregate(
+        Max("h1", alias_name="h1"), Max("h2", alias_name="h2"))
+
+    def classify(t: pa.Table) -> pa.Table:
+        h1 = np.asarray(t.column("h1").to_pylist(), dtype=object)
+        h2 = np.asarray(t.column("h2").to_pylist(), dtype=object)
+        status = np.where(h1 == "", "added",
+                          np.where(h2 == "", "removed",
+                                   np.where(h1 == h2, "same", "changed")))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "status": pa.array(status.tolist(), pa.string())})
+
+    return folded.map_batches(classify, batch_format="pyarrow",
+                              batch_size=65536)
+
+
+CORPUS_DIFF_SQL = """
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ), v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               md5('new doc ' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT CAST(COALESCE(v1.doc_id, v2.doc_id) AS BIGINT) AS doc_id,
+           CASE WHEN v1.h IS NULL THEN 'added'
+                WHEN v2.h IS NULL THEN 'removed'
+                WHEN v1.h = v2.h THEN 'same'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""

@@ -140,3 +140,34 @@ def test_compaction_crash_before_commit_is_ignored(ray_session, tmp_path):
     assert res["run_id"] == "compact0001"
     r3 = ingest_run(_docs_ds([(6, "a"), (7, "f"), (8, "g")]), state, "r3")
     assert r3.to_pydict()["doc_id"] == [8]
+
+
+def test_corpus_diff_statuses(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
+        q_corpus_diff)
+
+    # ids chosen to hit every class: 5 removed (5 | 5); 7 changed
+    # (7 | 7 but not 5 | 7); 13 stays "same" (13 % 5 != 0, 13 % 7 != 0)
+    # and spawns the 1000013 "added" row (13 | 13); 35 removed — the
+    # drop rule wins over the change rule; 1 same.
+    sf = _write_docs(tmp_path, [(i, f"text {i}") for i in (1, 5, 7, 13, 35)])
+    got = (q_corpus_diff(sf).to_pandas()
+           .set_index("doc_id")["status"].to_dict())
+    assert got == {1: "same", 5: "removed", 7: "changed", 13: "same",
+                   35: "removed", 1000013: "added"}
+
+
+def test_corpus_diff_matches_oracle_sql(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
+        CORPUS_DIFF_SQL, q_corpus_diff)
+
+    sf = _write_docs(tmp_path, [(i, f"doc body {i % 9}") for i in range(120)])
+    got = (q_corpus_diff(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(CORPUS_DIFF_SQL).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert set(want["status"]) == {"added", "removed", "changed", "same"}
