@@ -432,6 +432,13 @@ def _w_vocab_bpe_merges(sf_dir: str):
     return tokenizer.q_vocab_bpe_merges(sf_dir)
 
 
+def _w_bpe_piece_counts(sf_dir: str):
+    from amazon_textract_transformer_pipeline_ray.pipelines import tokenizer
+
+    _aux(sf_dir, "bpe_piece_counts")
+    return tokenizer.q_bpe_piece_counts(sf_dir)
+
+
 def _w_doc_bpe_encode(sf_dir: str):
     from amazon_textract_transformer_pipeline_ray.pipelines import tokenizer
 
@@ -612,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
         "embedding_cluster_stats": _w_embedding_cluster_stats,  # SQL-checked
         # (fixture: loop-style per-pair np.dot recompute over the spec)
+        "bpe_piece_counts": _w_bpe_piece_counts,  # SQL-checked
+        # (fixture: unmemoized single-process recount)
         "doc_bpe_encode": _w_doc_bpe_encode,  # SQL-checked (fixture:
         # unmemoized rank-order replay per pre-token, single process)
         "vocab_bpe_merges": _w_vocab_bpe_merges,  # SQL-checked (fixture:
@@ -815,6 +824,8 @@ def _sql_registry() -> dict[str, str]:
             f"SELECT * FROM {aux.format(name='bpe_merges')}",
         "doc_bpe_encode":
             f"SELECT * FROM {aux.format(name='bpe_encode')}",
+        "bpe_piece_counts":
+            f"SELECT * FROM {aux.format(name='bpe_piece_counts')}",
         "media_features":
             f"SELECT * FROM {aux.format(name='media_features')}",
         "media_wav_roundtrip":

@@ -959,6 +959,49 @@ def _expected_bpe_encode(sf_dir: str) -> pa.Table:
     })
 
 
+def _expected_bpe_piece_counts(sf_dir: str) -> pa.Table:
+    """Corpus piece frequencies replayed single-process with no
+    memoization: every pre-token of every doc re-segmented from scratch
+    by rank-order replay, one global Counter."""
+    import re
+
+    from .pipelines.text import BPE_PATTERN
+
+    merges = _expected_bpe_merges(sf_dir)
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    _, texts = _docs(sf_dir)
+    pat = re.compile(BPE_PATTERN)
+
+    def encode(word: str) -> list[str]:
+        seq = list(word)
+        for left, right in rules:
+            if len(seq) < 2:
+                break
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return seq
+
+    counts: Counter = Counter()
+    for s in texts:
+        for w in pat.findall(s):
+            counts.update(encode(w))
+    pieces = sorted(counts)
+    return pa.table({
+        "piece": pa.array(pieces, pa.string()),
+        "count": pa.array([counts[p] for p in pieces], pa.int64()),
+    })
+
+
 def _builders() -> dict:
     from .pipelines.dedup import (JACCARD_THRESHOLD, SIMHASH_MAX_HAMMING,
                                   WINNOW_K, WINNOW_W)
@@ -979,6 +1022,7 @@ def _builders() -> dict:
         "pca": _expected_pca,
         "bpe_merges": _expected_bpe_merges,
         "bpe_encode": _expected_bpe_encode,
+        "bpe_piece_counts": _expected_bpe_piece_counts,
         "media_features": _expected_media_features,
         "media_wav": _expected_media_wav,
         "media_bundle": _expected_media_bundle,

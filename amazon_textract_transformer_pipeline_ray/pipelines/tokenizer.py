@@ -230,6 +230,69 @@ class BpeEncoder:
         })
 
 
+class PieceCounter:
+    """Actor-pool stage: full segmentations memoized per word type;
+    each batch emits (piece, p_c) partials — the piece vocabulary is
+    bounded by |alphabet| + n_merges, so the exchange is tiny."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        self.merges: list[tuple[str, str]] = ray.get(merges_ref)
+        self.cache: dict[str, tuple] = {}
+
+    def _pieces(self, word: str) -> tuple:
+        seq = self.cache.get(word)
+        if seq is None:
+            s = list(word)
+            for left, right in self.merges:
+                if len(s) < 2:
+                    break
+                s = _merge_seq(s, left, right)
+            seq = self.cache[word] = tuple(s)
+        return seq
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for s in batch.column("text").to_pylist():
+            words = _BPE_RE.findall(s)
+            if not words:
+                continue
+            flat = np.empty(len(words), dtype=object)
+            flat[:] = words
+            uniq, cnt = np.unique(flat, return_counts=True)
+            for w, c in zip(uniq, cnt):
+                for p in self._pieces(w):
+                    counts[p] += int(c)
+        pieces = sorted(counts)
+        return pa.table({
+            "piece": pa.array(pieces, pa.string()),
+            "p_c": pa.array([counts[p] for p in pieces], pa.int64()),
+        })
+
+
+def q_bpe_piece_counts(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide frequency of every BPE piece under the trained
+    merges — the tokenizer's vocabulary usage table:
+    ``(piece, count)``.  Train -> broadcast rules -> streaming counting
+    pass -> one piece-keyed groupby over the vocab-bounded partials."""
+    from ray.data.aggregate import Sum as SumAgg
+
+    from ..sources.tables import broadcast
+
+    merges = q_vocab_bpe_merges(sf_dir)
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    ref = broadcast(rules)
+    ds = read_table(sf_dir, "documents", ["text"])
+    return (ds.map_batches(PieceCounter, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=(1, 4))
+            .groupby("piece").aggregate(SumAgg("p_c", alias_name="count")))
+
+
 def q_doc_bpe_encode(sf_dir: str) -> rd.Dataset:
     """Per-document BPE segmentation stats under the corpus-trained
     merges: ``(doc_id, n_pretokens, n_pieces)``.  Train (two-phase plan

@@ -142,3 +142,40 @@ def test_engine_matches_independent_fixture(ray_session):
     got = q_vocab_bpe_merges(SF0001).to_pandas()
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_piece_counts_crafted(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.tokenizer import (
+        q_bpe_piece_counts)
+
+    # same corpus as test_encode_crafted: after training, every word
+    # type is one piece -> counts are the word-type occurrence counts.
+    sf = _write_docs(tmp_path, ["aa aa ab", "aa aa"])
+    got = (q_bpe_piece_counts(sf).to_pandas()
+           .set_index("piece")["count"].to_dict())
+    assert got == {"aa": 2, " aa": 2, " ab": 1}
+
+
+def test_piece_counts_conserve_mass(ray_session):
+    # total piece count == total n_pieces from the encode table
+    from amazon_textract_transformer_pipeline_ray.pipelines.tokenizer import (
+        q_bpe_piece_counts, q_doc_bpe_encode)
+
+    total_pieces = int(q_doc_bpe_encode(SF0001).to_pandas()["n_pieces"].sum())
+    counts = q_bpe_piece_counts(SF0001).to_pandas()
+    assert int(counts["count"].sum()) == total_pieces
+    assert (counts["count"] > 0).all()
+
+
+def test_piece_counts_match_independent_fixture(ray_session):
+    from amazon_textract_transformer_pipeline_ray.oracle_fixture_aux import (
+        _expected_bpe_piece_counts)
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.tokenizer import (
+        q_bpe_piece_counts)
+
+    want = (_expected_bpe_piece_counts(SF0001).to_pandas()
+            .sort_values("piece").reset_index(drop=True))
+    got = (q_bpe_piece_counts(SF0001).to_pandas()
+           .sort_values("piece").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
