@@ -572,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": text.q_doc_length_quantiles,
         "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
         "doc_length_percentile": text.q_doc_length_percentile,
+        "doc_normalize": text.q_doc_normalize,  # SQL-checked (RE2 both
+        # sides — bit-identical by construction)
+        "doc_dedup_normalized": text.q_doc_dedup_normalized,  # SQL-checked
         "doc_stats_rollup": text.q_doc_stats_rollup,  # SQL-checked
         # (GROUPING SETS oracle)
         "doc_chunks": chunking.q_doc_chunks,  # SQL-checked (lateral
@@ -725,7 +728,8 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.events import (
         COHORT_SQL, FUNNEL_SQL, USER_GAPS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.text import (
-        LENGTH_PCT_SQL, STATS_ROLLUP_SQL)
+        DOC_DEDUP_NORMALIZED_SQL, DOC_NORMALIZE_SQL, LENGTH_PCT_SQL,
+        STATS_ROLLUP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.chunking import (
         DOC_CHUNKS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
@@ -1401,6 +1405,8 @@ def _sql_registry() -> dict[str, str]:
         "events_user_gaps": USER_GAPS_SQL,
         "doc_length_percentile": LENGTH_PCT_SQL,
         "doc_stats_rollup": STATS_ROLLUP_SQL,
+        "doc_normalize": DOC_NORMALIZE_SQL,
+        "doc_dedup_normalized": DOC_DEDUP_NORMALIZED_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
         "doc_dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "corpus_diff": CORPUS_DIFF_SQL,

@@ -460,3 +460,70 @@ STATS_ROLLUP_SQL = """
     FROM documents
     GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """
+
+
+# Normalization spec shared verbatim with the SQL oracle: lowercase,
+# collapse whitespace runs to one space, trim.  Both sides run RE2
+# (pyarrow kernels here, DuckDB regexp_replace there), so the
+# normalized strings — and their md5s — are bit-identical by
+# construction, the PII-scrub equivalence argument.
+_NORM_WS_PATTERN = r"\s+"
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(batch.column("text")),
+        pattern=_NORM_WS_PATTERN, replacement=" "))
+    texts = norm.to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "norm_md5": pa.array(
+            [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts],
+            pa.string()),
+        "n_norm_chars": pa.array(
+            np.array([len(s) for s in texts], np.int64)),
+    })
+
+
+def q_doc_normalize(sf_dir: str) -> rd.Dataset:
+    """Canonical-form fingerprints per doc — the pre-dedup text
+    normalization pass: ``(doc_id, norm_md5, n_norm_chars)``.  One
+    streaming map_batches, zero shuffles."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_normalize_batch, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+def q_doc_dedup_normalized(sf_dir: str) -> rd.Dataset:
+    """Exact dedup over the NORMALIZED text (catches case/whitespace
+    variants plain exact dedup misses): min doc_id survives per
+    canonical form — ``(keep_doc_id, n_variants)``.  The normalize
+    pass fuses into the read; one hash groupby, the q_doc_dedup_exact
+    shape."""
+    return (q_doc_normalize(sf_dir)
+            .groupby("norm_md5").aggregate(
+                Min("doc_id", alias_name="keep_doc_id"),
+                Count(alias_name="n_variants"))
+            .select_columns(["keep_doc_id", "n_variants"]))
+
+
+DOC_NORMALIZE_SQL = r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS norm_md5,
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                AS BIGINT) AS n_norm_chars
+    FROM documents
+"""
+
+DOC_DEDUP_NORMALIZED_SQL = r"""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS norm_md5
+          FROM documents)
+    GROUP BY norm_md5
+"""

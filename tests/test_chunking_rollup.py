@@ -116,3 +116,40 @@ def test_rollup_matches_oracle_sql(ray_session, tmp_path):
     want = (_oracle(sf, STATS_ROLLUP_SQL)[cols]
             .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_normalize_and_dedup_normalized(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.text import (
+        DOC_DEDUP_NORMALIZED_SQL,
+        DOC_NORMALIZE_SQL,
+        q_doc_dedup_normalized,
+        q_doc_normalize,
+    )
+
+    sf = _write_docs(tmp_path, [
+        (0, "Hello   World", "en", "s"),
+        (1, "hello world", "en", "s"),       # same canonical form as 0
+        (2, "  HELLO\tWORLD \n", "en", "s"),  # and as this one
+        (3, "hello worlds", "en", "s"),       # distinct
+        (4, "", "en", "s"),                   # empty normalizes to ""
+    ])
+    norm = (q_doc_normalize(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert norm["norm_md5"].nunique() == 3
+    assert norm.loc[0, "norm_md5"] == norm.loc[1, "norm_md5"] \
+        == norm.loc[2, "norm_md5"]
+    assert norm["n_norm_chars"].tolist() == [11, 11, 11, 12, 0]
+
+    dd = (q_doc_dedup_normalized(sf).to_pandas()
+          .sort_values("keep_doc_id").reset_index(drop=True))
+    assert dd["keep_doc_id"].tolist() == [0, 3, 4]
+    assert dd["n_variants"].tolist() == [3, 1, 1]
+
+    for sql, query in ((DOC_NORMALIZE_SQL, q_doc_normalize),
+                       (DOC_DEDUP_NORMALIZED_SQL, q_doc_dedup_normalized)):
+        got = query(sf).to_pandas()
+        cols = sorted(got.columns)
+        want = _oracle(sf, sql)
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True),
+            want[cols].sort_values(cols).reset_index(drop=True))
