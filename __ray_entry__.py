@@ -511,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         preprocess,
         relational,
         scoring,
+        setops,
         similarity,
         text,
     )
@@ -572,6 +573,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": text.q_doc_length_quantiles,
         "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
         "doc_length_percentile": text.q_doc_length_percentile,
+        "source_jaccard": setops.q_source_jaccard,  # SQL-checked
+        # (DISTINCT-unnest self-join restatement; engine side is one
+        # token-bucket shuffle folding source bitmasks)
         "doc_normalize": text.q_doc_normalize,  # SQL-checked (RE2 both
         # sides — bit-identical by construction)
         "doc_dedup_normalized": text.q_doc_dedup_normalized,  # SQL-checked
@@ -734,6 +738,8 @@ def _sql_registry() -> dict[str, str]:
         DOC_CHUNKS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
         CORPUS_DIFF_SQL, DEDUP_INCREMENTAL_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.setops import (
+        SOURCE_JACCARD_SQL)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1410,6 +1416,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_chunks": DOC_CHUNKS_SQL,
         "doc_dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "corpus_diff": CORPUS_DIFF_SQL,
+        "source_jaccard": SOURCE_JACCARD_SQL,
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

@@ -1,0 +1,60 @@
+"""Source-level Jaccard overlap tests: crafted vocabularies with known
+intersections (including a zero-overlap pair) and SQL-oracle parity."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from amazon_textract_transformer_pipeline_ray.pipelines.setops import (
+    SOURCE_JACCARD_SQL,
+    q_source_jaccard,
+)
+
+
+def _write_docs(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["lang"], df["n_chars"] = "en", df.text.str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_crafted_overlaps(ray_session, tmp_path):
+    # A vocab {a,b,c}; B vocab {b,c,d} (inter 2, union 4); C vocab {zz}
+    # disjoint from both; duplicate tokens within/between docs of one
+    # source count once (DISTINCT semantics).
+    sf = _write_docs(tmp_path, [
+        (0, "a b", "A"), (1, "b c  c", "A"),
+        (2, "b c d", "B"), (3, "d d", "B"),
+        (4, "zz", "C"),
+    ])
+    got = (q_source_jaccard(sf)
+           .set_index(["source_a", "source_b"]))
+    assert got.loc[("A", "B"), "n_inter"] == 2
+    assert got.loc[("A", "B"), "n_union"] == 4
+    assert got.loc[("A", "B"), "jaccard"] == 0.5
+    assert got.loc[("A", "C"), "n_inter"] == 0
+    assert got.loc[("A", "C"), "jaccard"] == 0.0
+    assert got.loc[("B", "C"), "n_union"] == 4  # {b,c,d} + {zz}
+    assert len(got) == 3  # all pairs, zero-overlap included
+
+
+def test_matches_oracle_sql(ray_session, tmp_path):
+    rows = []
+    for i in range(60):
+        src = ["web", "book", "chat"][i % 3]
+        toks = " ".join(f"w{(i * 7 + j) % 40}" for j in range(10))
+        rows.append((i, toks, src))
+    sf = _write_docs(tmp_path, rows)
+    got = (q_source_jaccard(sf)
+           .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(SOURCE_JACCARD_SQL).df()
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_inter"] > 0).any()
