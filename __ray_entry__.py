@@ -560,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": corpus.q_doc_sample_stratified,
         "doc_domain_mix": corpus.q_doc_domain_mix,  # SQL-checked
         "doc_sample_k": corpus.q_doc_sample_k,  # SQL-checked
+        "doc_cap_per_lang": corpus.q_doc_cap_per_lang,  # SQL-checked
+        # (row_number PARTITION BY oracle; combiner-first shuffle)
         "activity_union": corpus.q_activity_union,
         # --- text analysis (SQL-checked unless noted) ---
         "doc_stats_by_lang": text.q_doc_stats_by_lang,
@@ -722,7 +724,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.decontam import (
         DECONTAM_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
-        DOMAIN_MIX_SQL, SAMPLE_K_SQL)
+        CAP_PER_LANG_SQL, DOMAIN_MIX_SQL, SAMPLE_K_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
         DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL, VOCAB_TOP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.preprocess import (
@@ -1423,6 +1425,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_decontaminate_shuffled": DECONTAM_SQL,
         "doc_domain_mix": DOMAIN_MIX_SQL,
         "doc_sample_k": SAMPLE_K_SQL,
+        "doc_cap_per_lang": CAP_PER_LANG_SQL,
         "doc_train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'

@@ -260,3 +260,48 @@ SAMPLE_K_SQL = """
            md5(CAST(doc_id AS VARCHAR)) AS h
     FROM documents ORDER BY h, doc_id LIMIT 50
 """
+
+
+CAP_PER_LANG = 20
+
+
+def q_doc_cap_per_lang(sf_dir: str, n: int = CAP_PER_LANG) -> rd.Dataset:
+    """Per-group LIMIT: the N smallest doc_ids of every language — the
+    per-group cap sampler (balanced inspection slices, per-domain
+    quota enforcement).  Output: ``(lang, doc_id, rn)`` with rn the
+    1-based rank within the language.
+
+    No global sort: each batch keeps at most N candidate rows per lang
+    (local combiner), so the single ``groupby(lang)`` exchange carries
+    <= N x n_batches rows per language and the final per-group
+    sort+head touches candidate rows only."""
+    ds = read_table(sf_dir, "documents", ["lang", "doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pylist(),
+            "doc_id": batch.column("doc_id").to_numpy(),
+        })
+        keep = (df.sort_values(["lang", "doc_id"], kind="mergesort")
+                .groupby("lang", sort=False).head(n))
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = (g.sort_values("doc_id", kind="mergesort").head(n)
+               .reset_index(drop=True))
+        top["rn"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+CAP_PER_LANG_SQL = """
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                     AS rn
+          FROM documents)
+    WHERE rn <= 20
+"""

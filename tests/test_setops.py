@@ -58,3 +58,40 @@ def test_matches_oracle_sql(ray_session, tmp_path):
             .sort_values(["source_a", "source_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert (got["n_inter"] > 0).any()
+
+
+def test_cap_per_lang(ray_session, tmp_path):
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
+        CAP_PER_LANG_SQL,
+        q_doc_cap_per_lang,
+    )
+
+    # 30 en docs (only 20 kept), 5 fr docs (all kept), ids shuffled
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(35)
+    rows = [(int(i), f"t {i}", "s") for i in ids]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["lang"] = np.where(df.doc_id < 30, "en", "fr")
+    df["n_chars"] = df.text.str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    sf = str(tmp_path)
+
+    got = (q_doc_cap_per_lang(sf).to_pandas()
+           .sort_values(["lang", "rn"]).reset_index(drop=True))
+    en = got[got.lang == "en"]
+    assert len(en) == 20 and en["doc_id"].tolist() == list(range(20))
+    assert en["rn"].tolist() == list(range(1, 21))
+    fr = got[got.lang == "fr"]
+    assert len(fr) == 5 and fr["doc_id"].tolist() == list(range(30, 35))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    cols = ["lang", "doc_id", "rn"]
+    want = (con.sql(CAP_PER_LANG_SQL).df()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True), want)
