@@ -197,7 +197,13 @@ def compact_state(state_dir: str, n_buckets: int = N_BUCKETS) -> dict:
         {"bucket": pa.array(range(n_buckets), pa.int64())}))
         .map_batches(compact_bucket, batch_format="pyarrow", batch_size=4)
         .to_pandas())
-    # step 2: commit the compact generation
+    # step 2: commit the compact generation (with an empty survivor
+    # table, so an accidental ingest_run(run_id="compactNNNN") replay
+    # degrades to zero rows instead of a missing-file error)
+    _atomic_write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "h": pa.array([], pa.string())}),
+        _survivor_path(state_dir, new_run))
     os.makedirs(os.path.join(state_dir, "runs"), exist_ok=True)
     tmp = _commit_path(state_dir, new_run) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
