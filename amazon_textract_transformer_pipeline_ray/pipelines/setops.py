@@ -46,6 +46,10 @@ def q_source_jaccard(sf_dir: str) -> pd.DataFrame:
     ``(source_a, source_b, n_inter, n_union, jaccard)`` — zero-overlap
     pairs included."""
     sources = _distinct_sources(sf_dir)
+    if len(sources) > 62:  # int64 bitmask; shard the source space beyond
+        raise ValueError(
+            f"{len(sources)} sources exceed the 62-bit mask; partition "
+            "the source list and run per shard")
     bit = {s: 1 << i for i, s in enumerate(sources)}
     n_buckets = 64
 

@@ -205,6 +205,8 @@ class BpeEncoder:
                 if len(seq) < 2:
                     break
                 seq = _merge_seq(seq, left, right)
+            if len(self.cache) >= 1_000_000:  # bound actor heap at scale
+                self.cache.clear()
             n = self.cache[word] = len(seq)
         return n
 
@@ -249,6 +251,8 @@ class PieceCounter:
                 if len(s) < 2:
                     break
                 s = _merge_seq(s, left, right)
+            if len(self.cache) >= 1_000_000:  # bound actor heap at scale
+                self.cache.clear()
             seq = self.cache[word] = tuple(s)
         return seq
 
