@@ -122,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
                      choices=("merges", "encode"),
                      help="merges = learn the merge-rule table; encode = "
                           "per-doc piece counts under the learned rules")
+    tok.add_argument("--merges", default=None,
+                     help="encode mode: path to a bpe_merges.parquet "
+                          "written by --mode merges; skips retraining "
+                          "and encodes under that tokenizer")
 
     ch = sub.add_parser(
         "chunk",
@@ -292,7 +296,13 @@ def main(argv: list[str] | None = None) -> int:
                 table, os.path.join(args.dest, "bpe_merges.parquet"))
             rows = table.num_rows
         else:
-            tok_mod.q_doc_bpe_encode(args.table_dir).write_parquet(args.dest)
+            rules = None
+            if args.merges:
+                mt = pq_mod.read_table(args.merges)
+                rules = list(zip(mt.column("left").to_pylist(),
+                                 mt.column("right").to_pylist()))
+            (tok_mod.q_doc_bpe_encode(args.table_dir, rules=rules)
+             .write_parquet(args.dest))
             rows = rd.read_parquet(args.dest).count()
         print(json.dumps({"mode": args.mode, "rows": rows,
                           "dest": args.dest}))

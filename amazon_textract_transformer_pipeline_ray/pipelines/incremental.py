@@ -237,13 +237,12 @@ def q_doc_dedup_incremental(sf_dir: str) -> pa.Table:
     Invariant (the SQL oracle): a hash's survivor is the min EVEN
     doc_id carrying it if any (run 0), else the min odd doc_id (run 1).
     """
-    import shutil
     import tempfile
 
-    state_dir = os.path.join(
-        tempfile.gettempdir(), "attp_incremental",
-        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(state_dir, ignore_errors=True)
+    # fresh per-invocation state dir: concurrent runs (parallel test
+    # workers, overlapping verifications) must never share or clobber
+    # each other's commit records
+    state_dir = tempfile.mkdtemp(prefix="attp_incremental_")
 
     def parity(rem: int):
         import pyarrow.compute as pc
@@ -300,8 +299,10 @@ DEDUP_INCREMENTAL_SQL = """
 #
 # The v2 snapshot here is DERIVED deterministically from the documents
 # table (drop doc_id%5==0, append " v2" to text when doc_id%7==0, add a
-# fresh doc at doc_id+1_000_000 for doc_id%13==0) so the whole scenario
-# is restatable as a DuckDB FULL OUTER JOIN over the same derivation.
+# fresh doc at -(doc_id+1) for doc_id%13==0 — the negative id space is
+# disjoint from real ids by the testdata contract) so the whole
+# scenario is restatable as a DuckDB FULL OUTER JOIN over the same
+# derivation.
 # ---------------------------------------------------------------------------
 
 
@@ -334,7 +335,10 @@ def _derive_v2(t: pa.Table) -> pa.Table:
             out_ids.append(d)
             out_texts.append(s + " v2" if d % 7 == 0 else s)
         if d % 13 == 0:
-            out_ids.append(d + 1_000_000)
+            # added ids live in the NEGATIVE id space: -(d+1) can never
+            # collide with a real (non-negative, per the testdata
+            # contract) doc_id, unlike any fixed offset
+            out_ids.append(-(d + 1))
             out_texts.append(f"new doc {d}")
     return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                      "text": pa.array(out_texts, pa.string())})
@@ -379,7 +383,7 @@ CORPUS_DIFF_SQL = """
                         ELSE text END) AS h
         FROM documents WHERE doc_id % 5 <> 0
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id,
+        SELECT -(doc_id + 1) AS doc_id,
                md5('new doc ' || CAST(doc_id AS VARCHAR)) AS h
         FROM documents WHERE doc_id % 13 = 0
     )

@@ -297,15 +297,21 @@ def q_bpe_piece_counts(sf_dir: str) -> rd.Dataset:
             .groupby("piece").aggregate(SumAgg("p_c", alias_name="count")))
 
 
-def q_doc_bpe_encode(sf_dir: str) -> rd.Dataset:
+def q_doc_bpe_encode(sf_dir: str,
+                     rules: list[tuple[str, str]] | None = None
+                     ) -> rd.Dataset:
     """Per-document BPE segmentation stats under the corpus-trained
     merges: ``(doc_id, n_pretokens, n_pieces)``.  Train (two-phase plan
-    above) -> broadcast the rule list -> one streaming encode pass."""
+    above) -> broadcast the rule list -> one streaming encode pass.
+    Pass ``rules`` (rank-ordered (left, right) pairs, e.g. loaded from
+    a persisted merge table) to skip training and encode under an
+    existing tokenizer."""
     from ..sources.tables import broadcast
 
-    merges = q_vocab_bpe_merges(sf_dir)
-    rules = list(zip(merges.column("left").to_pylist(),
-                     merges.column("right").to_pylist()))
+    if rules is None:
+        merges = q_vocab_bpe_merges(sf_dir)
+        rules = list(zip(merges.column("left").to_pylist(),
+                         merges.column("right").to_pylist()))
     ref = broadcast(rules)
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(BpeEncoder, fn_constructor_args=(ref,),

@@ -148,13 +148,13 @@ def test_corpus_diff_statuses(ray_session, tmp_path):
 
     # ids chosen to hit every class: 5 removed (5 | 5); 7 changed
     # (7 | 7 but not 5 | 7); 13 stays "same" (13 % 5 != 0, 13 % 7 != 0)
-    # and spawns the 1000013 "added" row (13 | 13); 35 removed — the
+    # and spawns the -(13+1) "added" row (13 | 13); 35 removed — the
     # drop rule wins over the change rule; 1 same.
     sf = _write_docs(tmp_path, [(i, f"text {i}") for i in (1, 5, 7, 13, 35)])
     got = (q_corpus_diff(sf).to_pandas()
            .set_index("doc_id")["status"].to_dict())
     assert got == {1: "same", 5: "removed", 7: "changed", 13: "same",
-                   35: "removed", 1000013: "added"}
+                   35: "removed", -14: "added"}
 
 
 def test_corpus_diff_matches_oracle_sql(ray_session, tmp_path):
