@@ -192,6 +192,27 @@ def _x_tool_stats(sf_dir: str):
     return out.sort_values("tool").reset_index(drop=True)
 
 
+def _x_role_transitions(sf_dir: str):
+    """Corpus-wide dialogue-structure rollup: counts of every
+    (prev_role -> role) transition under stable turn ordering, with
+    '<start>' as each conversation's entry state.  SQL-checked DIRECTLY
+    against the RAW transcripts (window lag in DuckDB), fully
+    independent of both implementations — the x_tool_stats gate class.
+
+    One ``groupby(conv_id)`` exchange (the flagship's ordering
+    exchange); each group emits its tiny per-conv transition counts,
+    folded by a roles^2-sized final groupby — kernel in
+    ``stages/conversation.py:role_transitions``."""
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.stages.conversation import (
+        role_transitions)
+
+    ds = rd.read_parquet(_oracle_fixtures(sf_dir),
+                         columns=["conv_id", "turn_idx", "role"])
+    return role_transitions(ds)
+
+
 def _x_turns_staged(sf_dir: str):
     """Two-stage variant: extraction with normalizers stripped, then the
     endpoint-shaped normalizer actor pool (stages/normalize.py) — the
@@ -529,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_spans": _x_spans,
         "x_eval_metrics": _x_eval_metrics,
         "x_tool_stats": _x_tool_stats,
+        "x_role_transitions": _x_role_transitions,
         "x_review_queue": _x_review_queue,
         # --- relational (TPC-H-ish; SQL-checked) ---
         "pricing_summary": relational.q_pricing_summary,
@@ -810,6 +832,17 @@ def _sql_registry() -> dict[str, str]:
             FROM read_parquet('/tmp/attp_transcripts/current/*.parquet')
             WHERE role = 'tool'
             GROUP BY tool
+        """,
+        "x_role_transitions": """
+            WITH t AS (
+                SELECT role,
+                       lag(role, 1, '<start>') OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx)
+                           AS prev_role
+                FROM read_parquet(
+                    '/tmp/attp_transcripts/current/*.parquet'))
+            SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY prev_role, role
         """,
     }
     # Deterministic dedup/similarity queries: DuckDB reads the INDEPENDENT

@@ -55,3 +55,25 @@ def summarize_conversation(group: pd.DataFrame) -> pd.DataFrame:
         "n_review_needed": [int(g["review_needed"].sum())],
         "conv_text_sha256": [h.hexdigest()],
     })
+
+
+def role_transitions(ds: "rd.Dataset") -> "rd.Dataset":
+    """Corpus-wide (prev_role -> role) transition counts under stable
+    turn ordering; '<start>' is each conversation's entry state.
+    Input: a Dataset with (conv_id, turn_idx, role).  One
+    ``groupby(conv_id)`` exchange; per-conv outputs are tiny transition
+    partials folded by a roles^2-sized final groupby."""
+    from ray.data.aggregate import Sum
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort")
+        roles = g["role"].tolist()
+        df = pd.DataFrame({"prev_role": ["<start>"] + roles[:-1],
+                           "role": roles})
+        return (df.groupby(["prev_role", "role"], as_index=False)
+                .size().rename(columns={"size": "p_n"}))
+
+    return (ds.groupby("conv_id").map_groups(trans,
+                                             batch_format="pandas")
+            .groupby(["prev_role", "role"]).aggregate(
+                Sum("p_n", alias_name="n")))

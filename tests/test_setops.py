@@ -95,3 +95,25 @@ def test_cap_per_lang(ray_session, tmp_path):
             .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[cols].sort_values(cols).reset_index(drop=True), want)
+
+
+def test_role_transitions_crafted(ray_session, tmp_path):
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.stages.conversation import (
+        role_transitions)
+
+    # out-of-order turn_idx rows: ordering must come from the sort
+    rows = pd.DataFrame({
+        "conv_id": ["c1"] * 3 + ["c2"] * 2,
+        "turn_idx": [2, 0, 1, 1, 0],   # c1 order: u,a,t ; c2 order: u,a
+        "role": ["tool", "user", "assistant", "assistant", "user"],
+    })
+    p = tmp_path / "shard-0.parquet"
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), str(p))
+    got = (role_transitions(rd.read_parquet([str(p)]))
+           .to_pandas().set_index(["prev_role", "role"])["n"].to_dict())
+    # turn-idx-sorted: c1 = user->assistant->tool, c2 = user->assistant
+    assert got == {("<start>", "user"): 2,
+                   ("user", "assistant"): 2,
+                   ("assistant", "tool"): 1}
