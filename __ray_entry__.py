@@ -213,6 +213,22 @@ def _x_role_transitions(sf_dir: str):
     return role_transitions(ds)
 
 
+def _x_turn_latency(sf_dir: str):
+    """Response-latency rollup per (prev_role -> role) transition —
+    exact-integer microsecond gap count/sum/max under stable turn
+    ordering; SQL-checked DIRECTLY against the RAW transcripts (window
+    lag), like x_tool_stats/x_role_transitions.  Kernel:
+    ``stages/conversation.py:turn_latency``."""
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.stages.conversation import (
+        turn_latency)
+
+    ds = rd.read_parquet(_oracle_fixtures(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "ts"])
+    return turn_latency(ds)
+
+
 def _x_turns_staged(sf_dir: str):
     """Two-stage variant: extraction with normalizers stripped, then the
     endpoint-shaped normalizer actor pool (stages/normalize.py) — the
@@ -551,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_eval_metrics": _x_eval_metrics,
         "x_tool_stats": _x_tool_stats,
         "x_role_transitions": _x_role_transitions,
+        "x_turn_latency": _x_turn_latency,
         "x_review_queue": _x_review_queue,
         # --- relational (TPC-H-ish; SQL-checked) ---
         "pricing_summary": relational.q_pricing_summary,
@@ -843,6 +860,21 @@ def _sql_registry() -> dict[str, str]:
                     '/tmp/attp_transcripts/current/*.parquet'))
             SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n
             FROM t GROUP BY prev_role, role
+        """,
+        "x_turn_latency": """
+            WITH t AS (
+                SELECT role,
+                       lag(role) OVER w AS prev_role,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+                FROM read_parquet(
+                    '/tmp/attp_transcripts/current/*.parquet')
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT prev_role, role,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM t WHERE prev_role IS NOT NULL
+            GROUP BY prev_role, role
         """,
     }
     # Deterministic dedup/similarity queries: DuckDB reads the INDEPENDENT

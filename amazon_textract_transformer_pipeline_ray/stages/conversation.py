@@ -77,3 +77,38 @@ def role_transitions(ds: "rd.Dataset") -> "rd.Dataset":
                                              batch_format="pandas")
             .groupby(["prev_role", "role"]).aggregate(
                 Sum("p_n", alias_name="n")))
+
+
+def turn_latency(ds: "rd.Dataset") -> "rd.Dataset":
+    """Per-transition response-latency rollup: for every consecutive
+    (prev_role -> role) pair under stable turn ordering, the count and
+    exact-integer sum/max of the microsecond gap between the turns'
+    timestamps.  Input: (conv_id, turn_idx, role, ts).  Same exchange
+    shape as ``role_transitions``; all outputs are exact int64."""
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame({
+                "prev_role": pd.Series(dtype=object),
+                "role": pd.Series(dtype=object),
+                "p_n": pd.Series(dtype=np.int64),
+                "p_sum": pd.Series(dtype=np.int64),
+                "p_max": pd.Series(dtype=np.int64)})
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(ts)
+        df = pd.DataFrame({"prev_role": g["role"].to_numpy()[:-1],
+                           "role": g["role"].to_numpy()[1:],
+                           "gap": d})
+        out = (df.groupby(["prev_role", "role"], as_index=False)
+               .agg(p_n=("gap", "size"), p_sum=("gap", "sum"),
+                    p_max=("gap", "max")))
+        return out
+
+    return (ds.groupby("conv_id").map_groups(gaps, batch_format="pandas")
+            .groupby(["prev_role", "role"]).aggregate(
+                Sum("p_n", alias_name="n"),
+                Sum("p_sum", alias_name="sum_gap_us"),
+                Max("p_max", alias_name="max_gap_us")))

@@ -117,3 +117,31 @@ def test_role_transitions_crafted(ray_session, tmp_path):
     assert got == {("<start>", "user"): 2,
                    ("user", "assistant"): 2,
                    ("assistant", "tool"): 1}
+
+
+def test_turn_latency_crafted(ray_session, tmp_path):
+    import ray.data as rd
+
+    from amazon_textract_transformer_pipeline_ray.stages.conversation import (
+        turn_latency)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = pd.DataFrame({
+        "conv_id": ["c1"] * 3 + ["c2"] * 2 + ["c3"],
+        "turn_idx": [0, 1, 2, 0, 1, 0],
+        "role": ["user", "assistant", "user", "user", "assistant", "user"],
+        # c1: gaps 2s (u->a), 5s (a->u); c2: gap 3s (u->a); c3: single
+        "ts": [t0, t0 + 2 * s, t0 + 7 * s, t0, t0 + 3 * s, t0],
+    })
+    p = tmp_path / "shard-0.parquet"
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), str(p))
+    got = (turn_latency(rd.read_parquet([str(p)]))
+           .to_pandas().set_index(["prev_role", "role"]))
+    ua = got.loc[("user", "assistant")]
+    assert ua[["n", "sum_gap_us", "max_gap_us"]].tolist() \
+        == [2, 5_000_000, 3_000_000]
+    au = got.loc[("assistant", "user")]
+    assert au[["n", "sum_gap_us", "max_gap_us"]].tolist() \
+        == [1, 5_000_000, 5_000_000]
+    assert len(got) == 2  # single-turn conv contributes nothing
