@@ -641,6 +641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
         "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
         "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,
+        "doc_pagerank": graph.q_doc_pagerank,  # SQL-checked (unrolled
+        # integer fixed-point iterations — bit-exact, no float sums)
         "doc_dedup_near_corpus": graph.q_doc_dedup_near_corpus,
         "doc_dup_ngram_stats": dedup.q_doc_dup_ngram_stats,
         "doc_dedup_ngram_corpus": dedup.q_doc_dedup_ngram_corpus,
@@ -781,6 +783,8 @@ def _sql_registry() -> dict[str, str]:
         CORPUS_DIFF_SQL, DEDUP_INCREMENTAL_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.setops import (
         SOURCE_JACCARD_SQL)
+    from amazon_textract_transformer_pipeline_ray.pipelines.graph import (
+        pagerank_sql)
     # Extraction-table oracles: DuckDB reads the INDEPENDENT oracle's
     # expected tables (oracle_fixture.py) via stable symlinks the x_*
     # queries re-point before running.  x_tool_stats is the exception —
@@ -1484,6 +1488,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_dedup_incremental": DEDUP_INCREMENTAL_SQL,
         "corpus_diff": CORPUS_DIFF_SQL,
         "source_jaccard": SOURCE_JACCARD_SQL,
+        "doc_pagerank": pagerank_sql(),
         "corpus_preprocess": CORPUS_PREPROCESS_SQL,
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,

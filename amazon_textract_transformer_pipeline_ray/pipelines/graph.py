@@ -276,3 +276,176 @@ def q_doc_dedup_near_corpus(sf_dir: str) -> rd.Dataset:
     joined = docs.join(survivors, join_type="inner", num_partitions=width,
                        on=("doc_id",), right_on=("keep_id",))
     return joined.select_columns(["doc_id", "n_chars", "text_md5"])
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the near-dup similarity graph — the
+# iterative NUMERIC graph algorithm (centrality for representative /
+# curation weighting), bit-deterministic by construction: scores are
+# int64 at scale PR_SCALE, damping 17/20 is applied as integer
+# multiply-then-floor-divide, and every per-iteration reduction is an
+# order-free integer SUM — so the distributed result equals the
+# oracle's unrolled-SQL replay exactly, with no float summation-order
+# caveats (the embedding-PCA trick applied to graph iteration).
+#
+# Update rule per iteration (all ops int64, in this exact order):
+#   base      = (3*S) // (20*n)
+#   inflow(v) = sum over in-edges (u,v) of r(u) // outdeg(u)
+#   dangling  = sum of r(u) over nodes with no out-edges
+#   r'(v)     = base + (17 * (inflow(v) + dangling // n)) // 20
+#
+# Edges: the exact-Jaccard near-dup pairs (shared spec with
+# `jaccard_dup_pairs`, both directions).  The edge table is the
+# oracle-anchored exact variant (driver-small); the ITERATION is fully
+# distributed — scores live in a Dataset, each round is one
+# contribution exchange + one scalar aggregate, checkpointed like the
+# connected-components rounds — and works unchanged over any edge
+# Dataset (e.g. the MinHash-LSH pairs at scale).
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12
+PR_ITERS = 5
+
+
+def q_doc_pagerank(sf_dir: str, n_iters: int = PR_ITERS) -> rd.Dataset:
+    """Integer-exact PageRank after ``n_iters`` rounds:
+    ``(doc_id, rank_fp)`` with ``rank_fp`` the fixed-point score at
+    scale ``PR_SCALE``."""
+    from collections import defaultdict
+
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.dedup import q_jaccard_dup_pairs
+    from ..sources.scale import table_num_rows
+    from ..sources.tables import broadcast
+
+    pairs = q_jaccard_dup_pairs(sf_dir)
+    adj: dict = defaultdict(list)
+    for a, b in zip(pairs["doc_id_a"].to_numpy(np.int64),
+                    pairs["doc_id_b"].to_numpy(np.int64)):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    adj = dict(adj)
+    ref = broadcast(adj)
+
+    n = table_num_rows(sf_dir, "documents")
+    base = (3 * PR_SCALE) // (20 * n)
+    r0 = PR_SCALE // n
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(t.column("doc_id").to_numpy()
+                             .astype(np.int64)),
+            "r": pa.array(np.full(len(t), r0, np.int64)),
+        })
+
+    scores = docs.map_batches(init, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+
+    for _ in range(n_iters):
+        import ray
+
+        def dang_partial(t: pa.Table, _adj=ref) -> pa.Table:
+            a = ray.get(_adj)
+            nodes = t.column("node").to_numpy()
+            r = t.column("r").to_numpy()
+            mask = np.array([int(v) not in a for v in nodes])
+            return pa.table({"m": pa.array(
+                [int(r[mask].sum()) if mask.any() else 0], pa.int64())})
+
+        dang_rows = (scores.map_batches(dang_partial,
+                                        batch_format="pyarrow",
+                                        batch_size=65536)
+                     .aggregate(Sum("m", alias_name="dangling")))
+        dangling = int(dang_rows["dangling"] or 0)
+        share = dangling // n
+
+        def contribs(t: pa.Table, _adj=ref) -> pa.Table:
+            a = ray.get(_adj)
+            nodes = t.column("node").to_numpy()
+            r = t.column("r").to_numpy()
+            out_n, out_c = [], []
+            for v, rv in zip(nodes, r):
+                out_n.append(int(v))   # keep every node present
+                out_c.append(0)
+                nbrs = a.get(int(v))
+                if nbrs:
+                    c = int(rv) // len(nbrs)
+                    for u in nbrs:
+                        out_n.append(u)
+                        out_c.append(c)
+            return pa.table({"node": pa.array(out_n, pa.int64()),
+                             "c": pa.array(out_c, pa.int64())})
+
+        def apply_rule(t: pa.Table, _share=share) -> pa.Table:
+            inflow = t.column("inflow").to_numpy()
+            r_new = base + (17 * (inflow + _share)) // 20
+            return pa.table({"node": t.column("node"),
+                             "r": pa.array(r_new.astype(np.int64))})
+
+        scores = (scores.map_batches(contribs, batch_format="pyarrow",
+                                     batch_size=65536)
+                  .groupby("node").aggregate(Sum("c", alias_name="inflow"))
+                  .map_batches(apply_rule, batch_format="pyarrow",
+                               batch_size=65536)
+                  .materialize())
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"),
+                         "rank_fp": t.column("r")})
+
+    return scores.map_batches(rename, batch_format="pyarrow",
+                              batch_size=65536)
+
+
+def pagerank_sql(n_iters: int = PR_ITERS) -> str:
+    """Unrolled-iteration DuckDB restatement of ``q_doc_pagerank`` —
+    identical integer op order per round (DuckDB ``//`` is BIGINT
+    floor division, matching numpy int64)."""
+    S = PR_SCALE
+    head = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(trim(text),
+                                                          '\s+'))) AS w
+        FROM documents WHERE trim(text) <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    jpairs AS (
+        SELECT i.da, i.db FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.da
+        JOIN sizes sb ON sb.doc_id = i.db
+        WHERE CAST(i.shared AS DOUBLE)
+                  / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.9),
+    edges AS (SELECT da AS src, db AS dst FROM jpairs
+              UNION ALL SELECT db, da FROM jpairs),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS c FROM documents),
+    """ + f"""
+    r0 AS (SELECT doc_id AS node, {S} // c AS r FROM documents, nn)"""
+    blocks = []
+    for k in range(1, n_iters + 1):
+        p = k - 1
+        blocks.append(f""",
+    inf{k} AS (SELECT e.dst AS node, SUM(r.r // deg.d) AS s
+               FROM edges e JOIN r{p} r ON r.node = e.src
+               JOIN deg ON deg.src = e.src GROUP BY e.dst),
+    dang{k} AS (SELECT COALESCE(SUM(r.r), 0) AS m FROM r{p} r
+                LEFT JOIN deg ON deg.src = r.node
+                WHERE deg.src IS NULL),
+    r{k} AS (SELECT d.node,
+                    (3*{S}) // (20*c)
+                    + (17*(COALESCE(i.s, 0) + g.m // c)) // 20 AS r
+             FROM r{p} d CROSS JOIN nn CROSS JOIN dang{k} g
+             LEFT JOIN inf{k} i ON i.node = d.node)""")
+    tail = f"""
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(r AS BIGINT) AS rank_fp
+    FROM r{n_iters}
+    """
+    return head + "".join(blocks) + tail
