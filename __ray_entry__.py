@@ -617,6 +617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": setops.q_source_jaccard,  # SQL-checked
         # (DISTINCT-unnest self-join restatement; engine side is one
         # token-bucket shuffle folding source bitmasks)
+        "doc_lexical_diversity": text.q_doc_lexical_diversity,
+        # SQL-checked (regexp_split/list_distinct restatement)
         "doc_normalize": text.q_doc_normalize,  # SQL-checked (RE2 both
         # sides — bit-identical by construction)
         "doc_dedup_normalized": text.q_doc_dedup_normalized,  # SQL-checked
@@ -776,7 +778,7 @@ def _sql_registry() -> dict[str, str]:
         COHORT_SQL, FUNNEL_SQL, USER_GAPS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.text import (
         DOC_DEDUP_NORMALIZED_SQL, DOC_NORMALIZE_SQL, LENGTH_PCT_SQL,
-        STATS_ROLLUP_SQL)
+        LEXICAL_DIVERSITY_SQL, STATS_ROLLUP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.chunking import (
         DOC_CHUNKS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
@@ -1483,6 +1485,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_length_percentile": LENGTH_PCT_SQL,
         "doc_stats_rollup": STATS_ROLLUP_SQL,
         "doc_normalize": DOC_NORMALIZE_SQL,
+        "doc_lexical_diversity": LEXICAL_DIVERSITY_SQL,
         "doc_dedup_normalized": DOC_DEDUP_NORMALIZED_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
         "doc_dedup_incremental": DEDUP_INCREMENTAL_SQL,

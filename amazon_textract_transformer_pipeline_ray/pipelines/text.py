@@ -527,3 +527,51 @@ DOC_DEDUP_NORMALIZED_SQL = r"""
           FROM documents)
     GROUP BY norm_md5
 """
+
+
+def q_doc_lexical_diversity(sf_dir: str) -> rd.Dataset:
+    """Per-doc lexical diversity: whitespace token count, distinct
+    token count, and type-token ratio — the repetitiveness signal
+    quality filters read alongside the Gopher fractions.  Output:
+    ``(doc_id, n_tokens, n_distinct, ttr)``; one streaming pass."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok = np.zeros(len(texts), np.int64)
+        n_dis = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            s = t.strip()
+            if not s:
+                continue
+            toks = _WS_RE.split(s)
+            n_tok[i] = len(toks)
+            n_dis[i] = len(set(toks))
+        ttr = np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_dis),
+            "ttr": pa.array(ttr),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=8192)
+
+
+LEXICAL_DIVERSITY_SQL = r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_distinct(
+                         regexp_split_to_array(trim(text), '\s+'))) END
+                AS BIGINT) AS n_distinct,
+           CASE WHEN trim(text) = '' THEN 0.0
+                ELSE CAST(len(list_distinct(
+                              regexp_split_to_array(trim(text), '\s+')))
+                          AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\s+')) END
+               AS ttr
+    FROM documents
+"""

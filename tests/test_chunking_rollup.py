@@ -153,3 +153,25 @@ def test_normalize_and_dedup_normalized(ray_session, tmp_path):
         pd.testing.assert_frame_equal(
             got[cols].sort_values(cols).reset_index(drop=True),
             want[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_lexical_diversity(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.text import (
+        LEXICAL_DIVERSITY_SQL,
+        q_doc_lexical_diversity,
+    )
+
+    sf = _write_docs(tmp_path, [
+        (0, "a b a b a", "en", "s"),     # 5 tokens, 2 types, ttr 0.4
+        (1, "x y z", "en", "s"),          # ttr 1.0
+        (2, "", "en", "s"),               # zero tokens -> ttr 0.0
+        (3, "  padded   out  ", "en", "s"),  # trim + collapse: 2/2
+    ])
+    got = (q_doc_lexical_diversity(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_tokens"].tolist() == [5, 3, 0, 2]
+    assert got["n_distinct"].tolist() == [2, 3, 0, 2]
+    assert got["ttr"].tolist() == [0.4, 1.0, 0.0, 1.0]
+    want = (_oracle(sf, LEXICAL_DIVERSITY_SQL)
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
