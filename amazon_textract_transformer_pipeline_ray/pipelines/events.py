@@ -767,3 +767,57 @@ USER_GAPS_SQL = r"""
                 ELSE 0.0 END AS avg_gap_us
     FROM g GROUP BY user_id
 """
+
+
+def q_events_daily_moving_avg(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """Daily event counts with a trailing ``window``-day moving average
+    — the RANGE/ROWS-frame window-aggregate class (dashboard smoothing).
+    Output: ``(day, n_events, ma7)``.
+
+    Plan: ONE day-keyed combiner-first groupby (the events_hourly
+    exchange; output is calendar-bounded — one row per day — so the
+    moving window runs vectorized on the driver over the tiny reduced
+    table, the post-reduction convention).  Missing calendar days do
+    NOT contribute zeros: the frame is "previous <=6 PRESENT rows",
+    exactly DuckDB's ``ROWS 6 PRECEDING`` over the same day table —
+    ``ma7`` is one exact-int sum / count division per row."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["ts"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        days = pc.floor_temporal(batch["ts"], unit="day")
+        df = pd.DataFrame({"day": days.to_pandas()})
+        g = df.groupby("day", as_index=False).agg(p_cnt=("day", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (ds.map_batches(keyed, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("day").aggregate(Sum("p_cnt", alias_name="n_events"))
+             .to_pandas()
+             .sort_values("day", kind="mergesort").reset_index(drop=True))
+    n = daily["n_events"].to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(n)])
+    idx = np.arange(len(n))
+    lo = np.maximum(0, idx - (window - 1))
+    wsum = csum[idx + 1] - csum[lo]
+    wcnt = idx + 1 - lo
+    daily["ma7"] = wsum.astype(np.float64) / wcnt.astype(np.float64)
+    daily["n_events"] = daily["n_events"].astype(np.int64)
+    # repo timestamp convention: µs precision (floor_temporal's 'day'
+    # unit comes back at 's' and would dtype-mismatch the oracle)
+    daily["day"] = daily["day"].astype("datetime64[us]")
+    return daily
+
+
+DAILY_MA_SQL = """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY day)
+    SELECT day, n_events,
+           CAST(SUM(n_events) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS ma7
+    FROM d
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

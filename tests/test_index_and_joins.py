@@ -213,3 +213,24 @@ def test_user_gaps_crafted(ray_session, tmp_path):
     assert got.loc[2].tolist() == [1, 0, 0, 0, 0.0]
     assert got.loc[3, ["n_gaps", "sum_gap_us", "max_gap_us"]].tolist() \
         == [2, 2_000_000, 2_000_000]
+
+
+def test_daily_moving_avg_crafted(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        q_events_daily_moving_avg)
+
+    # three present days with a GAP (missing day is absent, not zero)
+    days = (["2024-01-01"] * 4 + ["2024-01-02"] * 2 + ["2024-01-05"] * 6)
+    ts = pd.to_datetime(days)
+    _write(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "ts": ts,
+        "user_id": np.int64(1),
+        "event_type": "view",
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = q_events_daily_moving_avg(str(tmp_path))
+    assert got["n_events"].tolist() == [4, 2, 6]
+    # trailing window over PRESENT rows: [4], [4,2], [4,2,6]
+    assert got["ma7"].tolist() == [4.0, 3.0, 4.0]
