@@ -344,53 +344,61 @@ def q_doc_pagerank(sf_dir: str, n_iters: int = PR_ITERS) -> rd.Dataset:
     scores = docs.map_batches(init, batch_format="pyarrow",
                               batch_size=65536).materialize()
 
+    import pyarrow.compute as pc
+    import ray
+
+    SENT = np.int64(-(2**62))  # dangling-mass accumulator "node"
+
+    def contribs(t: pa.Table, _adj=ref) -> pa.Table:
+        # One pass does double duty: contribution rows for linked
+        # nodes, a zero row keeping every node present, and the
+        # batch's dangling mass routed to the SENT key — so the single
+        # groupby exchange also reduces the dangling scalar (no second
+        # corpus scan, no per-row membership pass).
+        a = ray.get(_adj)
+        nodes = t.column("node").to_numpy()
+        r = t.column("r").to_numpy()
+        out_n, out_c = [], []
+        dangling = 0
+        for v, rv in zip(nodes, r):
+            out_n.append(int(v))   # keep every node present
+            out_c.append(0)
+            nbrs = a.get(int(v))
+            if nbrs:
+                c = int(rv) // len(nbrs)
+                for u in nbrs:
+                    out_n.append(u)
+                    out_c.append(c)
+            else:
+                dangling += int(rv)
+        out_n.append(int(SENT))
+        out_c.append(dangling)
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
     for _ in range(n_iters):
-        import ray
-
-        def dang_partial(t: pa.Table, _adj=ref) -> pa.Table:
-            a = ray.get(_adj)
-            nodes = t.column("node").to_numpy()
-            r = t.column("r").to_numpy()
-            mask = np.array([int(v) not in a for v in nodes])
-            return pa.table({"m": pa.array(
-                [int(r[mask].sum()) if mask.any() else 0], pa.int64())})
-
-        dang_rows = (scores.map_batches(dang_partial,
-                                        batch_format="pyarrow",
-                                        batch_size=65536)
-                     .aggregate(Sum("m", alias_name="dangling")))
-        dangling = int(dang_rows["dangling"] or 0)
-        share = dangling // n
-
-        def contribs(t: pa.Table, _adj=ref) -> pa.Table:
-            a = ray.get(_adj)
-            nodes = t.column("node").to_numpy()
-            r = t.column("r").to_numpy()
-            out_n, out_c = [], []
-            for v, rv in zip(nodes, r):
-                out_n.append(int(v))   # keep every node present
-                out_c.append(0)
-                nbrs = a.get(int(v))
-                if nbrs:
-                    c = int(rv) // len(nbrs)
-                    for u in nbrs:
-                        out_n.append(u)
-                        out_c.append(c)
-            return pa.table({"node": pa.array(out_n, pa.int64()),
-                             "c": pa.array(out_c, pa.int64())})
+        agg = (scores.map_batches(contribs, batch_format="pyarrow",
+                                  batch_size=65536)
+               .groupby("node").aggregate(Sum("c", alias_name="inflow"))
+               .materialize())
+        dangling = sum(
+            b.column("inflow").to_numpy().sum()
+            for b in agg.map_batches(
+                lambda t: t.filter(pc.equal(t["node"], SENT)),
+                batch_format="pyarrow",
+                batch_size=65536).iter_batches(batch_format="pyarrow"))
+        share = int(dangling) // n
 
         def apply_rule(t: pa.Table, _share=share) -> pa.Table:
+            t = t.filter(pc.not_equal(t["node"], SENT))
             inflow = t.column("inflow").to_numpy()
             r_new = base + (17 * (inflow + _share)) // 20
             return pa.table({"node": t.column("node"),
                              "r": pa.array(r_new.astype(np.int64))})
 
-        scores = (scores.map_batches(contribs, batch_format="pyarrow",
-                                     batch_size=65536)
-                  .groupby("node").aggregate(Sum("c", alias_name="inflow"))
-                  .map_batches(apply_rule, batch_format="pyarrow",
-                               batch_size=65536)
-                  .materialize())
+        scores = agg.map_batches(apply_rule, batch_format="pyarrow",
+                                 batch_size=65536)
+    scores = scores.materialize()
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("node"),
@@ -403,42 +411,47 @@ def q_doc_pagerank(sf_dir: str, n_iters: int = PR_ITERS) -> rd.Dataset:
 def pagerank_sql(n_iters: int = PR_ITERS) -> str:
     """Unrolled-iteration DuckDB restatement of ``q_doc_pagerank`` —
     identical integer op order per round (DuckDB ``//`` is BIGINT
-    floor division, matching numpy int64)."""
+    floor division, matching numpy int64).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs at
+    each reference, and round k+1 references r{k} three times — plain
+    CTEs therefore re-evaluate the whole chain 3^k times (~65x slower
+    at 5 rounds, measured)."""
     S = PR_SCALE
     head = r"""
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
         SELECT doc_id,
                unnest(list_distinct(regexp_split_to_array(trim(text),
                                                           '\s+'))) AS w
         FROM documents WHERE trim(text) <> ''),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
-    inter AS (
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS MATERIALIZED (
         SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
         FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
-    jpairs AS (
+    jpairs AS MATERIALIZED (
         SELECT i.da, i.db FROM inter i
         JOIN sizes sa ON sa.doc_id = i.da
         JOIN sizes sb ON sb.doc_id = i.db
         WHERE CAST(i.shared AS DOUBLE)
                   / CAST(sa.n + sb.n - i.shared AS DOUBLE) >= 0.9),
-    edges AS (SELECT da AS src, db AS dst FROM jpairs
+    edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM jpairs
               UNION ALL SELECT db, da FROM jpairs),
-    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-    nn AS (SELECT COUNT(*) AS c FROM documents),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),
     """ + f"""
-    r0 AS (SELECT doc_id AS node, {S} // c AS r FROM documents, nn)"""
+    r0 AS MATERIALIZED (SELECT doc_id AS node, {S} // c AS r FROM documents, nn)"""
     blocks = []
     for k in range(1, n_iters + 1):
         p = k - 1
         blocks.append(f""",
-    inf{k} AS (SELECT e.dst AS node, SUM(r.r // deg.d) AS s
+    inf{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.r // deg.d) AS s
                FROM edges e JOIN r{p} r ON r.node = e.src
                JOIN deg ON deg.src = e.src GROUP BY e.dst),
-    dang{k} AS (SELECT COALESCE(SUM(r.r), 0) AS m FROM r{p} r
+    dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.r), 0) AS m FROM r{p} r
                 LEFT JOIN deg ON deg.src = r.node
                 WHERE deg.src IS NULL),
-    r{k} AS (SELECT d.node,
+    r{k} AS MATERIALIZED (SELECT d.node,
                     (3*{S}) // (20*c)
                     + (17*(COALESCE(i.s, 0) + g.m // c)) // 20 AS r
              FROM r{p} d CROSS JOIN nn CROSS JOIN dang{k} g
