@@ -148,6 +148,21 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--dest", default=None,
                      help="optionally also write the survivor table here")
 
+    an = sub.add_parser(
+        "analyze",
+        help="text-analysis pass over a directory's documents.parquet")
+    an.add_argument("--table-dir", required=True,
+                    help="directory holding documents.parquet")
+    an.add_argument("--dest", required=True, help="destination directory")
+    an.add_argument("--mode", default="stats",
+                    choices=("stats", "langid", "quality", "diversity",
+                             "normalize", "chunks-rollup"),
+                    help="stats = per-lang rollup; langid = n-gram "
+                         "language ID; quality = heuristic scores; "
+                         "diversity = type-token ratio; normalize = "
+                         "canonical-form fingerprints; chunks-rollup = "
+                         "lang x source grouping-sets stats")
+
     cp = sub.add_parser(
         "compact",
         help="merge an ingest state's committed run files into one "
@@ -333,6 +348,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id,
                           "n_survivors": survivors.num_rows,
                           "state_dir": args.state_dir}))
+        return 0
+
+    if args.cmd == "analyze":
+        import ray.data as rd
+
+        from .pipelines import text as text_mod
+
+        builders = {
+            "stats": text_mod.q_doc_stats_by_lang,
+            "langid": text_mod.q_doc_langid,
+            "quality": text_mod.q_doc_quality,
+            "diversity": text_mod.q_doc_lexical_diversity,
+            "normalize": text_mod.q_doc_normalize,
+            "chunks-rollup": text_mod.q_doc_stats_rollup,
+        }
+        builders[args.mode](args.table_dir).write_parquet(args.dest)
+        print(json.dumps({"mode": args.mode,
+                          "rows": rd.read_parquet(args.dest).count(),
+                          "dest": args.dest}))
         return 0
 
     if args.cmd == "compact":

@@ -224,3 +224,32 @@ def test_cli_tokenize_chunk_ingest(ray_session, tmp_path, capsys):
     assert main(["compact", "--state-dir", state]) == 0
     r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r["n_hashes"] == 3 and r["run_id"].startswith("compact")
+
+
+def test_cli_analyze_modes(ray_session, tmp_path, capsys):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox", "le chat est noir", "a a a a"],
+        "lang": ["en", "fr", "en"],
+        "source": ["web", "book", "web"],
+    })
+    docs["n_chars"] = docs.text.str.len()
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(table_dir / "documents.parquet"))
+
+    expect_rows = {"stats": 2, "langid": 3, "quality": 3,
+                   "diversity": 3, "normalize": 3, "chunks-rollup": 5}
+    for mode, n in expect_rows.items():
+        dest = str(tmp_path / f"out_{mode.replace('-', '_')}")
+        assert main(["analyze", "--table-dir", str(table_dir),
+                     "--dest", dest, "--mode", mode]) == 0
+        r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert r["rows"] == n and r["mode"] == mode
+    div = pd.read_parquet(str(tmp_path / "out_diversity"))
+    assert div.sort_values("doc_id")["ttr"].tolist() == [1.0, 1.0, 0.25]
