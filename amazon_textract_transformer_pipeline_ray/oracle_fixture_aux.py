@@ -849,6 +849,9 @@ def _expected_pca(sf_dir: str) -> pa.Table:
                      "pc2": pa.array(pc2, pa.float32())})
 
 
+_BPE_MERGES_CACHE: dict = {}
+
+
 def _expected_bpe_merges(sf_dir: str) -> pa.Table:
     """BPE merge-rule induction restated as the classic Counter-based
     Sennrich loop: dict of symbol TUPLES, a per-iteration pair Counter
@@ -861,6 +864,10 @@ def _expected_bpe_merges(sf_dir: str) -> pa.Table:
 
     from .pipelines.text import BPE_PATTERN
     from .pipelines.tokenizer import BPE_MAX_WORD_TYPES, BPE_N_MERGES
+
+    cached = _BPE_MERGES_CACHE.get(sf_dir)
+    if cached is not None:  # encode/piece-count fixtures retrain otherwise
+        return cached
 
     _, texts = _docs(sf_dir)
     pat = re.compile(BPE_PATTERN)
@@ -905,13 +912,15 @@ def _expected_bpe_merges(sf_dir: str) -> pa.Table:
                 seq = tuple(out)
             new_vocab[seq] = c
         vocab = new_vocab
-    return pa.table({
+    out = pa.table({
         "merge_rank": pa.array(ranks, pa.int64()),
         "left": pa.array(lefts, pa.string()),
         "right": pa.array(rights, pa.string()),
         "merged": pa.array(mergeds, pa.string()),
         "pair_count": pa.array(pcounts, pa.int64()),
     })
+    _BPE_MERGES_CACHE[sf_dir] = out
+    return out
 
 
 def _expected_bpe_encode(sf_dir: str) -> pa.Table:
