@@ -594,6 +594,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": events.q_events_user_gaps,
         "events_daily_moving_avg": events.q_events_daily_moving_avg,
         # SQL-checked (ROWS 6 PRECEDING window over the daily reduction)
+        "events_daily_zscore": events.q_events_daily_zscore,
+        # SQL-checked (explicit sum/sumsq formula, not stddev_samp —
+        # identical f64 op chain both sides)
         # (the whole sketch is restated in SQL — md5 registers, harmonic
         # mean, linear-counting branch)
         # --- corpus management (SQL-checked) ---
@@ -777,7 +780,8 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
         BM25_SQL, POSTINGS_SQL, TFIDF_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.events import (
-        COHORT_SQL, DAILY_MA_SQL, FUNNEL_SQL, USER_GAPS_SQL)
+        COHORT_SQL, DAILY_MA_SQL, DAILY_ZSCORE_SQL, FUNNEL_SQL,
+        USER_GAPS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.text import (
         DOC_DEDUP_NORMALIZED_SQL, DOC_NORMALIZE_SQL, LENGTH_PCT_SQL,
         LEXICAL_DIVERSITY_SQL, STATS_ROLLUP_SQL)
@@ -1485,6 +1489,7 @@ def _sql_registry() -> dict[str, str]:
         "events_cohort_retention": COHORT_SQL,
         "events_user_gaps": USER_GAPS_SQL,
         "events_daily_moving_avg": DAILY_MA_SQL,
+        "events_daily_zscore": DAILY_ZSCORE_SQL,
         "doc_length_percentile": LENGTH_PCT_SQL,
         "doc_stats_rollup": STATS_ROLLUP_SQL,
         "doc_normalize": DOC_NORMALIZE_SQL,

@@ -821,3 +821,68 @@ DAILY_MA_SQL = """
     FROM d
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_events_daily_zscore(sf_dir: str) -> pd.DataFrame:
+    """Daily-count anomaly scores: each day's event count standardized
+    against the corpus of daily counts — ``(day, n_events, zscore)``.
+
+    Plan: the ``q_events_daily_moving_avg`` day reduction (ONE
+    combiner-first groupby); mean/variance come from exact integer
+    sum / sum-of-squares over the tiny day table, so the f64 op chain
+    — ``(x - mean) / sqrt((sumsq - sum^2/n) / (n-1))`` — is written
+    out identically in the SQL oracle (NOT stddev_samp, whose Welford
+    accumulation could differ in the last ulp)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["ts"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        days = pc.floor_temporal(batch["ts"], unit="day")
+        df = pd.DataFrame({"day": days.to_pandas()})
+        g = df.groupby("day", as_index=False).agg(p_cnt=("day", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (ds.map_batches(keyed, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("day").aggregate(Sum("p_cnt", alias_name="n_events"))
+             .to_pandas()
+             .sort_values("day", kind="mergesort").reset_index(drop=True))
+    x = daily["n_events"].to_numpy(np.int64)
+    n = len(x)
+    s = int(x.sum())
+    sq = int((x.astype(object) * x.astype(object)).sum())  # exact ints
+    mean = s / n
+    # op order shared with the SQL: exact int products, ONE cast, two
+    # f64 divisions (both s*s and sq stay exact below 2^53 for any
+    # realistic daily-count table; beyond that both sides round the
+    # same cast identically)
+    var = (float(sq) - float(s * s) / n) / (n - 1) if n > 1 else 0.0
+    sd = float(np.sqrt(var)) if var > 0.0 else 0.0
+    daily["zscore"] = ((x - mean) / sd if sd > 0.0
+                       else np.zeros(n, np.float64))
+    daily["n_events"] = daily["n_events"].astype(np.int64)
+    daily["day"] = daily["day"].astype("datetime64[us]")
+    return daily
+
+
+DAILY_ZSCORE_SQL = """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY day),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_events) AS BIGINT) AS s,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+        FROM d)
+    SELECT d.day, d.n_events,
+           CASE WHEN m.n > 1 AND (CAST(m.sq AS DOUBLE)
+                     - CAST(m.s * m.s AS DOUBLE) / m.n) > 0
+                THEN (d.n_events - CAST(m.s AS DOUBLE) / m.n)
+                     / sqrt((CAST(m.sq AS DOUBLE)
+                             - CAST(m.s * m.s AS DOUBLE) / m.n)
+                            / (m.n - 1))
+                ELSE 0.0 END AS zscore
+    FROM d, m
+"""

@@ -234,3 +234,40 @@ def test_daily_moving_avg_crafted(ray_session, tmp_path):
     assert got["n_events"].tolist() == [4, 2, 6]
     # trailing window over PRESENT rows: [4], [4,2], [4,2,6]
     assert got["ma7"].tolist() == [4.0, 3.0, 4.0]
+
+
+def test_daily_zscore_crafted(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        q_events_daily_zscore)
+
+    # counts 2, 4, 6: mean 4, var ((4+16+36) - 144/3)/2 = 4, sd 2
+    days = (["2024-01-01"] * 2 + ["2024-01-02"] * 4 + ["2024-01-03"] * 6)
+    ts = pd.to_datetime(days)
+    _write(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "ts": ts,
+        "user_id": np.int64(1),
+        "event_type": "view",
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = q_events_daily_zscore(str(tmp_path))
+    assert got["n_events"].tolist() == [2, 4, 6]
+    assert got["zscore"].tolist() == [-1.0, 0.0, 1.0]
+
+
+def test_daily_zscore_constant_days(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        q_events_daily_zscore)
+
+    ts = pd.to_datetime(["2024-01-01"] * 3 + ["2024-01-02"] * 3)
+    _write(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "ts": ts,
+        "user_id": np.int64(1),
+        "event_type": "view",
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = q_events_daily_zscore(str(tmp_path))
+    assert got["zscore"].tolist() == [0.0, 0.0]  # zero variance
