@@ -553,17 +553,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
         text,
     )
 
+    # NOTE on dict ORDER: the driver's correctness gate samples the FIRST
+    # 50 entries. Rounds 1-3 always led with the same 50, so the dedup /
+    # similarity / BPE / media / api suite never received a driver-side
+    # CORRECTNESS row (it was value-checked only by the in-repo replica,
+    # tests/test_queries_oracle_sql.py). Round 4 rotates the sample: four
+    # flagship x_* sentinels stay up front, then the 46 queries the driver
+    # has never externally hash-checked; everything green in
+    # CORRECTNESS_r03.json moves behind the 50-boundary.
     return {
-        # --- extraction (synthetic transcripts; rows-only) ---
+        # --- flagship extraction sentinels (driver-checked every round) ---
         "x_turns": _x_turns,
         "x_fields": _x_fields,
+        "x_training_examples": _x_training_examples,
+        "x_spans": _x_spans,
+        # --- round-4 rotation: never-driver-checked queries (46) ---
+        # text/scoring/index suite
+        "source_jaccard": setops.q_source_jaccard,  # SQL-checked
+        # (DISTINCT-unnest self-join restatement; engine side is one
+        # token-bucket shuffle folding source bitmasks)
+        "doc_chunks": chunking.q_doc_chunks,  # SQL-checked (lateral
+        # unnest(range) + substr window replay)
+        "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
+        "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
+        "doc_repetition": filtering.q_doc_repetition,  # SQL-checked
+        "doc_lm_score": scoring.q_doc_lm_score,  # SQL-checked
+        "doc_lm_score_shuffled": scoring.q_doc_lm_score_shuffled,  # SQL-checked
+        "vocab_top": scoring.q_vocab_top,  # SQL-checked
+        "doc_dsir_weights": scoring.q_doc_dsir_weights,  # SQL-checked
+        "token_heavy_hitters": scoring.q_token_heavy_hitters,  # SQL-checked
+        "token_postings": index_build.q_token_postings,  # SQL-checked
+        "doc_tfidf_top_terms": index_build.q_doc_tfidf_top_terms,  # SQL-checked
+        "bm25_scores": index_build.q_bm25_scores,  # SQL-checked
+        "corpus_preprocess": preprocess.q_corpus_preprocess,  # SQL-checked
+        # dedup suite (SQL-checked: DuckDB directly where expressible,
+        # independent-oracle fixtures otherwise — oracle_fixture_aux.py)
+        "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
+        "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,
+        "doc_pagerank": graph.q_doc_pagerank,  # SQL-checked (unrolled
+        # integer fixed-point iterations — bit-exact, no float sums)
+        "doc_dedup_near_corpus": graph.q_doc_dedup_near_corpus,
+        "doc_dup_ngram_stats": dedup.q_doc_dup_ngram_stats,
+        "doc_dedup_ngram_corpus": dedup.q_doc_dedup_ngram_corpus,
+        "doc_decontaminate": decontam.q_doc_decontaminate,
+        "doc_decontaminate_shuffled": decontam.q_doc_decontaminate_shuffled,
+        "corpus_diff": incremental.q_corpus_diff,  # SQL-checked
+        # (FULL OUTER JOIN restatement of the derived-v2 scenario)
+        "doc_dedup_incremental": incremental.q_doc_dedup_incremental,
+        # SQL-checked (two-run persisted-state scenario; the oracle is
+        # the closed-form min-even-else-min-odd survivor rule)
+        "minhash_lsh_pairs": _w_minhash_lsh_pairs,
+        "simhash": _w_simhash,
+        "simhash_pairs": _w_simhash_pairs,
+        "winnow_fingerprints": _w_winnow_fingerprints,  # exploded driver view
+        # similarity search
+        "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
+        "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
+        "embedding_knn_lsh": _w_embedding_knn_lsh,  # SQL-checked (fixture)
+        "embedding_knn_ivf": _w_embedding_knn_ivf,  # SQL-checked: the
+        # coarse centroids are a bit-deterministic sample fit (shared as
+        # spec, faiss-style); the fixture recomputes the whole probe
+        # search single-process
+        "embedding_dup_pairs_lsh": _w_embedding_dup_pairs_lsh,  # SQL-checked
+        "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
+        "embedding_cluster_stats": _w_embedding_cluster_stats,  # SQL-checked
+        # (fixture: loop-style per-pair np.dot recompute over the spec)
+        "bpe_piece_counts": _w_bpe_piece_counts,  # SQL-checked
+        # (fixture: unmemoized single-process recount)
+        "doc_bpe_encode": _w_doc_bpe_encode,  # SQL-checked (fixture:
+        # unmemoized rank-order replay per pre-token, single process)
+        "vocab_bpe_merges": _w_vocab_bpe_merges,  # SQL-checked (fixture:
+        # independent Counter-based Sennrich merge loop over the same
+        # word-type counts — pipelines/tokenizer.py docstring has the
+        # determinism spec)
+        "embedding_pca": _w_embedding_pca,  # SQL-checked (fixture: the
+        # integer moment sums are order-exact, so both sides derive the
+        # identical covariance; projections recomputed per-row)
+        # multimodal plumbing (images use the REAL PNG codec on the
+        # png_roundtrip path, audio the REAL WAV codec on the
+        # wav_roundtrip path, FAKE1 elsewhere; ALL SQL-checked via
+        # independent fixtures: stdlib-wave WAV parse, per-pixel
+        # loop-style bilinear resample, per-pixel RFC 2083 PNG
+        # filter/unfilter — plus byte-equality pytest gates)
+        "media_features": _w_media_features,  # SQL-checked (fixture)
+        "media_frame_pipeline": _w_media_frame_pipeline,  # SQL-checked
+        "media_bundle_roundtrip": _w_media_bundle_roundtrip,  # SQL-checked
+        "media_png_roundtrip": _w_media_png_roundtrip,  # SQL-checked
+        "media_wav_roundtrip": _w_media_wav_roundtrip,  # SQL-checked
+        "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
+        # (independent stdlib-wave fixture)
+        # external-API source (S5): paginated NextToken-linked chunk
+        # files -> custom Datasource merge -> parser; oracle reads the
+        # RAW unmerged chunks with DuckDB read_json
+        "api_paged_blocks": _w_api_paged_blocks,  # SQL-checked
+        # ==================== 50-entry driver boundary ====================
+        # Everything below was driver-checked green in CORRECTNESS_r03.json
+        # (or is one of 8 deferred text-analysis queries noted below); all
+        # remain value-checked every run by tests/test_queries_oracle_sql.py.
+        # --- extraction (remaining x_*; driver-green r3) ---
         "x_conversations": _x_conversations,
         "x_turns_staged": _x_turns_staged,
-        "x_training_examples": _x_training_examples,
         "x_task_mlm": _x_task_mlm,
         "x_task_seq2seq": _x_task_seq2seq,
         "x_task_packed": _x_task_packed,
-        "x_spans": _x_spans,
         "x_eval_metrics": _x_eval_metrics,
         "x_tool_stats": _x_tool_stats,
         "x_role_transitions": _x_role_transitions,
@@ -616,94 +708,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (independent-oracle fixture)
         "doc_dedup_exact": text.q_doc_dedup_exact,
         "doc_quality": text.q_doc_quality,
+        # --- deferred text-analysis queries (8): never driver-checked but
+        # closest in shape to r3-green siblings (doc_quality,
+        # doc_stats_by_lang); they lost the front-50 seats to the dedup /
+        # similarity / BPE / media suite. Local replica still checks them. ---
         "doc_length_quantiles": text.q_doc_length_quantiles,
         "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
         "doc_length_percentile": text.q_doc_length_percentile,
-        "source_jaccard": setops.q_source_jaccard,  # SQL-checked
-        # (DISTINCT-unnest self-join restatement; engine side is one
-        # token-bucket shuffle folding source bitmasks)
         "doc_lexical_diversity": text.q_doc_lexical_diversity,
         # SQL-checked (regexp_split/list_distinct restatement)
-        "doc_normalize": text.q_doc_normalize,  # SQL-checked (RE2 both
-        # sides — bit-identical by construction)
+        "doc_normalize": text.q_doc_normalize,  # SQL-checked (shared
+        # explicit trim charset + RE2 collapse both sides)
         "doc_dedup_normalized": text.q_doc_dedup_normalized,  # SQL-checked
         "doc_stats_rollup": text.q_doc_stats_rollup,  # SQL-checked
         # (GROUPING SETS oracle)
-        "doc_chunks": chunking.q_doc_chunks,  # SQL-checked (lateral
-        # unnest(range) + substr window replay)
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
-        "doc_pii_scrub": filtering.q_doc_pii_scrub,  # SQL-checked (RE2 both sides)
-        "doc_gopher_quality": filtering.q_doc_gopher_quality,  # SQL-checked
-        "doc_repetition": filtering.q_doc_repetition,  # SQL-checked
-        "doc_lm_score": scoring.q_doc_lm_score,  # SQL-checked
-        "doc_lm_score_shuffled": scoring.q_doc_lm_score_shuffled,  # SQL-checked
-        "vocab_top": scoring.q_vocab_top,  # SQL-checked
-        "doc_dsir_weights": scoring.q_doc_dsir_weights,  # SQL-checked
-        "token_heavy_hitters": scoring.q_token_heavy_hitters,  # SQL-checked
-        "token_postings": index_build.q_token_postings,  # SQL-checked
-        "doc_tfidf_top_terms": index_build.q_doc_tfidf_top_terms,  # SQL-checked
-        "bm25_scores": index_build.q_bm25_scores,  # SQL-checked
-        "corpus_preprocess": preprocess.q_corpus_preprocess,  # SQL-checked
-        # --- dedup suite (SQL-checked: DuckDB directly where expressible,
-        # independent-oracle fixtures otherwise — oracle_fixture_aux.py) ---
-        "jaccard_dup_pairs": dedup.q_jaccard_dup_pairs,
-        "jaccard_dedup_clusters": graph.q_jaccard_dedup_clusters,
-        "doc_pagerank": graph.q_doc_pagerank,  # SQL-checked (unrolled
-        # integer fixed-point iterations — bit-exact, no float sums)
-        "doc_dedup_near_corpus": graph.q_doc_dedup_near_corpus,
-        "doc_dup_ngram_stats": dedup.q_doc_dup_ngram_stats,
-        "doc_dedup_ngram_corpus": dedup.q_doc_dedup_ngram_corpus,
-        "doc_decontaminate": decontam.q_doc_decontaminate,
-        "doc_decontaminate_shuffled": decontam.q_doc_decontaminate_shuffled,
-        "corpus_diff": incremental.q_corpus_diff,  # SQL-checked
-        # (FULL OUTER JOIN restatement of the derived-v2 scenario)
-        "doc_dedup_incremental": incremental.q_doc_dedup_incremental,
-        # SQL-checked (two-run persisted-state scenario; the oracle is
-        # the closed-form min-even-else-min-odd survivor rule)
-        "minhash_lsh_pairs": _w_minhash_lsh_pairs,
-        "simhash": _w_simhash,
-        "simhash_pairs": _w_simhash_pairs,
-        "winnow_fingerprints": _w_winnow_fingerprints,  # exploded driver view
-        # --- similarity search ---
-        "embedding_knn": similarity.q_embedding_knn,          # SQL-checked
-        "embedding_dup_pairs": similarity.q_embedding_dup_pairs,  # SQL-checked
-        "embedding_knn_lsh": _w_embedding_knn_lsh,  # SQL-checked (fixture)
-        "embedding_knn_ivf": _w_embedding_knn_ivf,  # SQL-checked: the
-        # coarse centroids are a bit-deterministic sample fit (shared as
-        # spec, faiss-style); the fixture recomputes the whole probe
-        # search single-process
-        "embedding_dup_pairs_lsh": _w_embedding_dup_pairs_lsh,  # SQL-checked
-        "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
-        "embedding_cluster_stats": _w_embedding_cluster_stats,  # SQL-checked
-        # (fixture: loop-style per-pair np.dot recompute over the spec)
-        "bpe_piece_counts": _w_bpe_piece_counts,  # SQL-checked
-        # (fixture: unmemoized single-process recount)
-        "doc_bpe_encode": _w_doc_bpe_encode,  # SQL-checked (fixture:
-        # unmemoized rank-order replay per pre-token, single process)
-        "vocab_bpe_merges": _w_vocab_bpe_merges,  # SQL-checked (fixture:
-        # independent Counter-based Sennrich merge loop over the same
-        # word-type counts — pipelines/tokenizer.py docstring has the
-        # determinism spec)
-        "embedding_pca": _w_embedding_pca,  # SQL-checked (fixture: the
-        # integer moment sums are order-exact, so both sides derive the
-        # identical covariance; projections recomputed per-row)
-        # --- multimodal plumbing (images use the REAL PNG codec on the
-        # png_roundtrip path, audio the REAL WAV codec on the
-        # wav_roundtrip path, FAKE1 elsewhere; ALL SQL-checked via
-        # independent fixtures: stdlib-wave WAV parse, per-pixel
-        # loop-style bilinear resample, per-pixel RFC 2083 PNG
-        # filter/unfilter — plus byte-equality pytest gates) ---
-        "media_features": _w_media_features,  # SQL-checked (fixture)
-        "media_frame_pipeline": _w_media_frame_pipeline,  # SQL-checked
-        "media_bundle_roundtrip": _w_media_bundle_roundtrip,  # SQL-checked
-        "media_png_roundtrip": _w_media_png_roundtrip,  # SQL-checked
-        "media_wav_roundtrip": _w_media_wav_roundtrip,  # SQL-checked
-        "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
-        # (independent stdlib-wave fixture)
-        # --- external-API source (S5): paginated NextToken-linked chunk
-        # files -> custom Datasource merge -> parser; oracle reads the
-        # RAW unmerged chunks with DuckDB read_json ---
-        "api_paged_blocks": _w_api_paged_blocks,  # SQL-checked
     }
 
 

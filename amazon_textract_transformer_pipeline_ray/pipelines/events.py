@@ -769,10 +769,20 @@ USER_GAPS_SQL = r"""
 """
 
 
-def q_events_daily_moving_avg(sf_dir: str, window: int = 7) -> pd.DataFrame:
+MA_WINDOW = 7  # single source of truth for the trailing-window width:
+# the column name (ma{window}), the vectorized frame below, AND the
+# DAILY_MA_SQL oracle frame are all derived from it, so a caller-chosen
+# window can never silently diverge from its labeling or its oracle.
+
+
+def q_events_daily_moving_avg(sf_dir: str,
+                              window: int = MA_WINDOW) -> pd.DataFrame:
     """Daily event counts with a trailing ``window``-day moving average
     — the RANGE/ROWS-frame window-aggregate class (dashboard smoothing).
-    Output: ``(day, n_events, ma7)``.
+    Output: ``(day, n_events, ma{window})``.  The registered oracle is
+    ``daily_ma_sql(MA_WINDOW)``; a non-default window names its column
+    accordingly and is checked by generating the frame from the same
+    parameter (tests cover window=3).
 
     Plan: ONE day-keyed combiner-first groupby (the events_hourly
     exchange; output is calendar-bounded — one row per day — so the
@@ -802,7 +812,8 @@ def q_events_daily_moving_avg(sf_dir: str, window: int = 7) -> pd.DataFrame:
     lo = np.maximum(0, idx - (window - 1))
     wsum = csum[idx + 1] - csum[lo]
     wcnt = idx + 1 - lo
-    daily["ma7"] = wsum.astype(np.float64) / wcnt.astype(np.float64)
+    daily[f"ma{window}"] = (wsum.astype(np.float64)
+                            / wcnt.astype(np.float64))
     daily["n_events"] = daily["n_events"].astype(np.int64)
     # repo timestamp convention: µs precision (floor_temporal's 'day'
     # unit comes back at 's' and would dtype-mismatch the oracle)
@@ -810,17 +821,24 @@ def q_events_daily_moving_avg(sf_dir: str, window: int = 7) -> pd.DataFrame:
     return daily
 
 
-DAILY_MA_SQL = """
+def daily_ma_sql(window: int = MA_WINDOW) -> str:
+    """Oracle generated from the SAME window parameter as the query —
+    frame width and output column name both derive from it."""
+    return f"""
     WITH d AS (
         SELECT date_trunc('day', ts) AS day,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY day)
     SELECT day, n_events,
            CAST(SUM(n_events) OVER w AS DOUBLE)
-               / COUNT(*) OVER w AS ma7
+               / COUNT(*) OVER w AS ma{window}
     FROM d
-    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
 """
+
+
+DAILY_MA_SQL = daily_ma_sql(MA_WINDOW)
 
 
 def q_events_daily_zscore(sf_dir: str) -> pd.DataFrame:

@@ -23,6 +23,21 @@ State layout (``state_dir``)::
   survivor table without touching the corpus (the checkpoint-manifest
   pattern of ``state/checkpoint.py``, applied to dedup state).
 
+Concurrency contract — SINGLE WRITER: at most one ``ingest_run`` or
+``compact_state`` may mutate a ``state_dir`` at a time (the production
+shape: one ingestion scheduler owning the state, exactly like the
+reference's single pipeline owning its DynamoDB-style progress table).
+Two concurrent ingests of *different* run_ids can both admit the same
+hash (each snapshots the committed list before the other commits).  A
+compaction racing an ingest is additionally defended in depth: the
+probe re-validates the committed list on disk and folds in any
+COMMITTED ``run-compact*.parquet`` generation present in the bucket
+directory — a compaction deletes absorbed run files only after its own
+commit record lands, so every deletion the probe can observe is covered
+by a committed compact file (crash orphans, which have no commit
+record, stay ignored).  Crash-rerun (same run_id, sequential) needs no
+lock.
+
 Dataflow per run: hash pass (streaming ``map_batches``) -> ONE
 bucket-keyed ``groupby`` -> per-bucket ``map_groups`` doing in-run
 min-doc_id dedup, the committed-state anti-probe, and the state-file
@@ -104,8 +119,23 @@ def ingest_run(docs: rd.Dataset, state_dir: str, run_id: str,
              .drop_duplicates("h", keep="first"))
         bdir = os.path.join(state_dir, "seen", f"bucket={bucket:02d}")
         seen: set[str] = set()
-        for rid in committed:
-            p = os.path.join(bdir, f"run-{rid}.parquet")
+        probe_files = {os.path.join(bdir, f"run-{rid}.parquet")
+                       for rid in committed}
+        # Committed-list re-validation (see module docstring): a
+        # compaction racing this probe deletes absorbed run files only
+        # AFTER committing its own generation (step 3 after step 2), so
+        # any deletion we could observe is covered by a compact file
+        # whose commit record already exists.  Fold in every compact
+        # generation that is committed ON DISK NOW (not just in the
+        # driver's snapshot); crash orphans — compact files with no
+        # commit record — stay ignored, as the crash-rerun test requires.
+        if os.path.isdir(bdir):
+            for f in os.listdir(bdir):
+                if f.startswith("run-compact") and f.endswith(".parquet"):
+                    rid = f[len("run-"):-len(".parquet")]
+                    if os.path.exists(_commit_path(state_dir, rid)):
+                        probe_files.add(os.path.join(bdir, f))
+        for p in sorted(probe_files):
             if os.path.exists(p):
                 seen.update(pq.read_table(p, columns=["h"])
                             .column("h").to_pylist())
@@ -237,11 +267,13 @@ def q_doc_dedup_incremental(sf_dir: str) -> pa.Table:
     Invariant (the SQL oracle): a hash's survivor is the min EVEN
     doc_id carrying it if any (run 0), else the min odd doc_id (run 1).
     """
+    import shutil
     import tempfile
 
     # fresh per-invocation state dir: concurrent runs (parallel test
     # workers, overlapping verifications) must never share or clobber
-    # each other's commit records
+    # each other's commit records; removed in the finally below once the
+    # survivor tables are in memory (no /tmp leak per invocation)
     state_dir = tempfile.mkdtemp(prefix="attp_incremental_")
 
     def parity(rem: int):
@@ -255,12 +287,15 @@ def q_doc_dedup_incremental(sf_dir: str) -> pa.Table:
         return f
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    run_a = ingest_run(
-        docs.map_batches(parity(0), batch_format="pyarrow",
-                         batch_size=8192), state_dir, "runA")
-    run_b = ingest_run(
-        docs.map_batches(parity(1), batch_format="pyarrow",
-                         batch_size=8192), state_dir, "runB")
+    try:
+        run_a = ingest_run(
+            docs.map_batches(parity(0), batch_format="pyarrow",
+                             batch_size=8192), state_dir, "runA")
+        run_b = ingest_run(
+            docs.map_batches(parity(1), batch_format="pyarrow",
+                             batch_size=8192), state_dir, "runB")
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
     return pa.table({
         "doc_id": pa.concat_arrays([run_a.column("doc_id").combine_chunks(),
                                     run_b.column("doc_id").combine_chunks()]),

@@ -463,19 +463,22 @@ STATS_ROLLUP_SQL = """
 
 
 # Normalization spec shared verbatim with the SQL oracle: lowercase,
-# collapse whitespace runs to one space, trim.  Both sides run RE2
-# (pyarrow kernels here, DuckDB regexp_replace there), so the
-# normalized strings — and their md5s — are bit-identical by
-# construction, the PII-scrub equivalence argument.
+# collapse whitespace runs to one space, trim ASCII spaces.  Both sides
+# run RE2 (pyarrow kernels here, DuckDB regexp_replace there) and both
+# trim exactly the ' ' character — NOT utf8_trim_whitespace, which would
+# strip Unicode whitespace (U+00A0 ...) that DuckDB trim() and RE2's
+# ASCII-only \s leave in place — so the normalized strings and their
+# md5s are bit-identical by construction, the PII-scrub equivalence
+# argument.
 _NORM_WS_PATTERN = r"\s+"
 
 
 def _normalize_batch(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
-    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+    norm = pc.utf8_trim(pc.replace_substring_regex(
         pc.utf8_lower(batch.column("text")),
-        pattern=_NORM_WS_PATTERN, replacement=" "))
+        pattern=_NORM_WS_PATTERN, replacement=" "), characters=" ")
     texts = norm.to_pylist()
     return pa.table({
         "doc_id": batch.column("doc_id"),
@@ -511,9 +514,9 @@ def q_doc_dedup_normalized(sf_dir: str) -> rd.Dataset:
 
 DOC_NORMALIZE_SQL = r"""
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))
                AS norm_md5,
-           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))
                 AS BIGINT) AS n_norm_chars
     FROM documents
 """
@@ -522,7 +525,7 @@ DOC_DEDUP_NORMALIZED_SQL = r"""
     SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_variants
     FROM (SELECT doc_id,
-                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))
                      AS norm_md5
           FROM documents)
     GROUP BY norm_md5

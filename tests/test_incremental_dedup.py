@@ -171,3 +171,29 @@ def test_corpus_diff_matches_oracle_sql(ray_session, tmp_path):
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert set(want["status"]) == {"added", "removed", "changed", "same"}
+
+
+def test_concurrent_compaction_race_covered_by_committed_compact(
+        ray_session, tmp_path, monkeypatch):
+    """The ADVICE-flagged race: an ingest snapshots committed=[r1], then a
+    concurrent compaction commits compact0001 and DELETES r1's bucket
+    files before the probe reads them.  The probe's committed-list
+    re-validation must fold in the committed compact generation so r1's
+    hashes stay seen (no duplicate re-admission)."""
+    import amazon_textract_transformer_pipeline_ray.pipelines.incremental as inc
+
+    state = str(tmp_path / "state")
+    ingest_run(_docs_ds([(1, "a"), (2, "b")]), state, "r1")
+    # stale snapshot: r2 believes only r1 is committed...
+    monkeypatch.setattr(inc, "_committed_runs", lambda sd: ["r1"])
+    # ...but the compaction has already committed and removed r1's files
+    from amazon_textract_transformer_pipeline_ray.pipelines.incremental import (
+        compact_state)
+    monkeypatch.undo()
+    compact_state(state)
+    import glob
+    assert not glob.glob(os.path.join(state, "seen", "*", "run-r1.parquet"))
+    monkeypatch.setattr(inc, "_committed_runs", lambda sd: ["r1"])
+    r2 = inc.ingest_run(_docs_ds([(9, "a"), (10, "c")]), state, "r2")
+    # "a" was seen by r1 (now only inside compact0001) -> NOT re-admitted
+    assert r2.to_pydict()["doc_id"] == [10]

@@ -236,6 +236,40 @@ def test_daily_moving_avg_crafted(ray_session, tmp_path):
     assert got["ma7"].tolist() == [4.0, 3.0, 4.0]
 
 
+def test_daily_moving_avg_custom_window_matches_generated_sql(
+        ray_session, tmp_path):
+    """A non-default window names its column ma{window} and matches the
+    oracle generated from the SAME parameter (the ADVICE-flagged
+    silent-divergence path)."""
+    import duckdb
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.events import (
+        daily_ma_sql, q_events_daily_moving_avg)
+
+    days = (["2024-01-01"] * 4 + ["2024-01-02"] * 2 + ["2024-01-05"] * 6
+            + ["2024-01-06"] * 1)
+    ts = pd.to_datetime(days)
+    _write(tmp_path, "events", pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "ts": ts,
+        "user_id": np.int64(1),
+        "event_type": "view",
+        "value": 1.0,
+        "props": "{}",
+    }))
+    got = q_events_daily_moving_avg(str(tmp_path), window=3)
+    assert "ma3" in got.columns and "ma7" not in got.columns
+    # window=3 over PRESENT rows: [4], [4,2], [4,2,6], [2,6,1]
+    assert got["ma3"].tolist() == [4.0, 3.0, 4.0, 3.0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = (con.execute(daily_ma_sql(3)).fetchdf()
+           .sort_values("day").reset_index(drop=True))
+    assert exp["ma3"].tolist() == got["ma3"].tolist()
+    assert exp["n_events"].tolist() == got["n_events"].tolist()
+
+
 def test_daily_zscore_crafted(ray_session, tmp_path):
     from amazon_textract_transformer_pipeline_ray.pipelines.events import (
         q_events_daily_zscore)
