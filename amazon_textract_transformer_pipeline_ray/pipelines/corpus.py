@@ -143,6 +143,21 @@ def _domain_weight(source: str) -> float:
         return 1.0
 
 
+def hex_threshold_accept(ids: list, srcs: list[str],
+                         thr: dict[str, str]) -> np.ndarray:
+    """The hex-threshold acceptance kernel (accept iff
+    ``md5(str(id))[:8] < thr[source]``), shared by ``q_doc_domain_mix``
+    and ``corpus_preprocess``'s keep_mix gate so the two can never
+    drift.  The per-id md5 stays a Python loop BY CONTRACT: the digest
+    must equal DuckDB's ``md5()`` byte-for-byte for the SQL oracle, and
+    no vectorized md5 over int-as-string keys exists in numpy/pyarrow."""
+    pref = [hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8]
+            for i in ids]
+    return np.fromiter(
+        (p < thr.get(s, "00000000") for p, s in zip(pref, srcs)),
+        dtype=np.int64, count=len(ids))
+
+
 def domain_thresholds(sf_dir: str) -> dict[str, str]:
     """Per-source md5-hex-prefix acceptance thresholds at rate
     ``w_s * K / n_s`` with ``K = min_s(n_s / w_s)`` — the shared model
@@ -192,13 +207,8 @@ def q_doc_domain_mix(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", ["doc_id", "source"])
 
     def select(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        srcs = batch.column("source").to_pylist()
-        pref = [hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8]
-                for i in ids]
-        sel = np.fromiter(
-            (p < thr.get(s, "00000000") for p, s in zip(pref, srcs)),
-            dtype=np.int64, count=len(ids))
+        sel = hex_threshold_accept(batch.column("doc_id").to_pylist(),
+                                   batch.column("source").to_pylist(), thr)
         return pa.table({
             "doc_id": batch["doc_id"],
             "source": batch["source"],

@@ -26,6 +26,8 @@ Scale notes
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -53,6 +55,13 @@ SIMHASH_MAX_HAMMING = 3
 # task materializes; a fixed count would grow per-task memory linearly
 # with the corpus).
 LSH_ROWS_PER_SHARD = 32768
+
+# Driver-memory budget for q_jaccard_dup_pairs' dense n x |vocab| f32
+# incidence matrix (the documented weak-by-design exact anchor).  A
+# misuse at big scale must fail LOUDLY with a pointer to the LSH twin,
+# not OOM the driver.  2 GiB ≈ ~23k docs x ~23k vocab.
+JACCARD_DENSE_BUDGET_BYTES = int(
+    os.environ.get("GRAFT_JACCARD_DENSE_BUDGET", 2 << 30))
 
 
 def _tokens(text: str) -> list[str]:
@@ -147,18 +156,32 @@ def q_jaccard_dup_pairs(sf_dir: str,
     # serve both the driver's incidence build and the blockwise stage —
     # this is the small compacted table, not the input corpus:
     reduced_ds = doc_token_sets(sf_dir).materialize()
-    reduced = reduced_ds.to_pandas()
-    doc_ids = reduced["doc_id"].to_numpy()
-    sets = [np.asarray(s, dtype=np.uint64) for s in reduced["token_ids"]]
-    n = len(sets)
+    reduced_tbl = reduced_ds.to_arrow_refs()
+    import pyarrow.compute as pc
 
-    # Dense incidence over the (small) union vocabulary:
-    vocab = np.unique(np.concatenate([s for s in sets if len(s)] or
-                                     [np.zeros(0, np.uint64)]))
+    tbl = pa.concat_tables(ray.get(reduced_tbl))
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    tok_col = tbl.column("token_ids").combine_chunks()
+    lens = pc.list_value_length(tok_col).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(tok_col).to_numpy(zero_copy_only=False)
+    n = len(doc_ids)
+
+    # Dense incidence over the (small) union vocabulary — ONE vectorized
+    # scatter (np.repeat rows x searchsorted cols), no per-doc loop:
+    vocab = np.unique(flat)
+    budget = JACCARD_DENSE_BUDGET_BYTES
+    need = int(n) * max(len(vocab), 1) * 4
+    if need > budget:
+        raise ValueError(
+            f"q_jaccard_dup_pairs: dense incidence matrix needs {need:,} "
+            f"bytes ({n:,} docs x {len(vocab):,} vocab x f32) > budget "
+            f"{budget:,}. This query is the documented EXACT all-pairs "
+            "anchor for oracle checks at small scale; at this size use "
+            "q_minhash_lsh_pairs (or q_jaccard_dedup_clusters) — the "
+            "scale path with no broadcast matrix and no quadratic.")
     m = np.zeros((n, len(vocab)), dtype=np.float32)
-    for i, s in enumerate(sets):
-        if len(s):
-            m[i, np.searchsorted(vocab, s)] = 1.0
+    m[np.repeat(np.arange(n, dtype=np.int64), lens),
+      np.searchsorted(vocab, flat)] = 1.0
     row_of_doc = {int(d): i for i, d in enumerate(doc_ids)}
     ref = broadcast((doc_ids, m, m.sum(axis=1), row_of_doc))
 

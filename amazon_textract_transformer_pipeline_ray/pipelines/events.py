@@ -165,30 +165,33 @@ def q_events_asof_orders_bucketed(sf_dir: str,
     events = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def order_rows(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "user": batch["o_custkey"].to_numpy().astype(np.int64),
-            "ts": batch["o_orderdate"].to_numpy(zero_copy_only=False)
-                  .astype("datetime64[us]"),
-            "price_cents": _cents(batch["o_totalprice"]),
+        t = pa.table({
+            "user": batch["o_custkey"].cast(pa.int64()),
+            "ts": batch["o_orderdate"].cast(pa.timestamp("us")),
+            "price_cents": pa.array(_cents(batch["o_totalprice"])),
         })
         # pre-dedup per (user, ts) inside the batch (max price) — the
-        # cross-batch dedup happens in the bucket fn:
-        g = df.groupby(["user", "ts"], as_index=False).agg(
-            price_cents=("price_cents", "max"))
-        g["side"] = "o"
-        g["event_type"] = ""
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # cross-batch dedup happens in the bucket fn.  Pure-Arrow
+        # group_by: no pandas round trip in this pre-shuffle kernel.
+        g = t.group_by(["user", "ts"]).aggregate([("price_cents", "max")])
+        n = g.num_rows
+        return pa.table({
+            "user": g["user"],
+            "ts": g["ts"],
+            "price_cents": g["price_cents_max"],
+            "side": pa.array(["o"] * n, pa.string()),
+            "event_type": pa.array([""] * n, pa.string()),
+        })
 
     def event_rows(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "user": batch["user_id"].to_numpy().astype(np.int64),
-            "ts": batch["ts"].to_numpy(zero_copy_only=False)
-                  .astype("datetime64[us]"),
-            "price_cents": np.zeros(batch.num_rows, dtype=np.int64),
-            "side": "e",
-            "event_type": batch["event_type"].to_pylist(),
+        n = batch.num_rows
+        return pa.table({
+            "user": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"].cast(pa.timestamp("us")),
+            "price_cents": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(["e"] * n, pa.string()),
+            "event_type": batch["event_type"].cast(pa.string()),
         })
-        return pa.Table.from_pandas(df, preserve_index=False)
 
     unioned = (orders.map_batches(order_rows, batch_format="pyarrow",
                                   batch_size=65536)

@@ -38,9 +38,13 @@ integers and strings, hash-comparable across engines.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -97,26 +101,36 @@ def _merge_seq(seq: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def train_bpe_merges(words: np.ndarray, counts: np.ndarray,
-                     n_merges: int = BPE_N_MERGES,
-                     max_types: int = BPE_MAX_WORD_TYPES) -> pa.Table:
-    """The driver-side merge loop (vocab-bounded — see module
-    docstring).  Pair statistics per iteration are vectorized over a
-    flattened symbol array; only merge APPLICATION scans the affected
-    word types."""
-    if len(words):
-        sel = (pd.DataFrame({"w": words, "c": counts})
-               .sort_values(["c", "w"], ascending=[False, True],
-                            kind="mergesort")
-               .head(max_types))
-        wtypes = sel["w"].tolist()
-        wcounts = sel["c"].to_numpy(np.int64)
-    else:
-        wtypes, wcounts = [], np.zeros(0, np.int64)
-    seqs: list[list[str]] = [list(w) for w in wtypes]
+def _select_types(words: np.ndarray, counts: np.ndarray,
+                  max_types: int) -> tuple[list[str], np.ndarray]:
+    """Deterministic type cap: count-desc / word-asc (module docstring)."""
+    if not len(words):
+        return [], np.zeros(0, np.int64)
+    sel = (pd.DataFrame({"w": words, "c": counts})
+           .sort_values(["c", "w"], ascending=[False, True],
+                        kind="mergesort")
+           .head(max_types))
+    return sel["w"].tolist(), sel["c"].to_numpy(np.int64)
 
-    ranks, lefts, rights, mergeds, pcounts = [], [], [], [], []
-    for rank in range(1, n_merges + 1):
+
+def _merges_table(state: dict[str, list]) -> pa.Table:
+    return pa.table({
+        "merge_rank": pa.array(state["ranks"], pa.int64()),
+        "left": pa.array(state["lefts"], pa.string()),
+        "right": pa.array(state["rights"], pa.string()),
+        "merged": pa.array(state["mergeds"], pa.string()),
+        "pair_count": pa.array(state["pcounts"], pa.int64()),
+    })
+
+
+def _merge_loop(seqs: list[list[str]], wcounts: np.ndarray,
+                state: dict[str, list], n_merges: int,
+                on_merge=None) -> pa.Table:
+    """The merge iteration, resumable: continues from
+    ``len(state['ranks'])`` already-recorded merges (whose application
+    to ``seqs`` the caller has already replayed).  ``on_merge(rank)``
+    fires after each recorded merge — the checkpoint hook."""
+    for rank in range(len(state["ranks"]) + 1, n_merges + 1):
         lens = np.fromiter((len(s) for s in seqs), np.int64,
                            count=len(seqs))
         total = int(lens.sum())
@@ -141,21 +155,32 @@ def train_bpe_merges(words: np.ndarray, counts: np.ndarray,
                          kind="mergesort"))
         left, right, best = (stats["l"].iloc[0], stats["r"].iloc[0],
                              int(stats["c"].iloc[0]))
-        ranks.append(rank)
-        lefts.append(left)
-        rights.append(right)
-        mergeds.append(left + right)
-        pcounts.append(best)
+        state["ranks"].append(rank)
+        state["lefts"].append(left)
+        state["rights"].append(right)
+        state["mergeds"].append(left + right)
+        state["pcounts"].append(best)
         for i, s in enumerate(seqs):
             if len(s) > 1:
                 seqs[i] = _merge_seq(s, left, right)
-    return pa.table({
-        "merge_rank": pa.array(ranks, pa.int64()),
-        "left": pa.array(lefts, pa.string()),
-        "right": pa.array(rights, pa.string()),
-        "merged": pa.array(mergeds, pa.string()),
-        "pair_count": pa.array(pcounts, pa.int64()),
-    })
+        if on_merge is not None:
+            on_merge(rank)
+    return _merges_table(state)
+
+
+def train_bpe_merges(words: np.ndarray, counts: np.ndarray,
+                     n_merges: int = BPE_N_MERGES,
+                     max_types: int = BPE_MAX_WORD_TYPES) -> pa.Table:
+    """The driver-side merge loop (vocab-bounded — see module
+    docstring).  Pair statistics per iteration are vectorized over a
+    flattened symbol array; only merge APPLICATION scans the affected
+    word types."""
+    wtypes, wcounts = _select_types(words, counts, max_types)
+    seqs: list[list[str]] = [list(w) for w in wtypes]
+    state: dict[str, list] = {k: [] for k in
+                              ("ranks", "lefts", "rights", "mergeds",
+                               "pcounts")}
+    return _merge_loop(seqs, wcounts, state, n_merges)
 
 
 def q_vocab_bpe_merges(sf_dir: str) -> pa.Table:
@@ -163,6 +188,111 @@ def q_vocab_bpe_merges(sf_dir: str) -> pa.Table:
     docstring for the two-phase plan and determinism spec."""
     words, counts = word_type_counts(sf_dir)
     return train_bpe_merges(words, counts)
+
+
+# Bump when counting/merge semantics change — stale checkpoints from an
+# older spec are then lineage-rejected, never silently trusted:
+BPE_SPEC_VERSION = "bpe-train-v1"
+
+
+def train_bpe_checkpointed(sf_dir: str, state_dir: str,
+                           n_merges: int = BPE_N_MERGES,
+                           max_types: int = BPE_MAX_WORD_TYPES,
+                           checkpoint_every: int = 16,
+                           _crash_after_checkpoints: int | None = None,
+                           ) -> pa.Table:
+    """Resumable BPE training (reference D2 skip-existing semantics,
+    ``util/ocr.py:151-161``, applied to the training chain per the
+    round-3 verdict).  Two independently-committed stages:
+
+    1. the CORPUS-SIZED word-type count pass — persisted once as
+       ``state_dir/word_counts.parquet`` + commit record; every resume
+       with matching lineage loads it instead of re-reading the corpus;
+    2. the merge loop — ``state_dir/merges.parquet`` checkpointed every
+       ``checkpoint_every`` merges (commit record carries how many are
+       trusted).  Resume REPLAYS the committed merges onto the type
+       sequences (application only — the expensive per-iteration pair
+       statistics are skipped) and continues from the next rank.
+
+    Merges are a pure function of the word-type counts, so a resumed
+    run is bit-identical to an uninterrupted one (property-tested).
+    ``_crash_after_checkpoints`` is a fault-injection hook for those
+    tests: raise after the Nth merge checkpoint commit.
+
+    Single writer per ``state_dir`` (the incremental.py contract)."""
+    from ..state import checkpoint as ckpt
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    lineage = hashlib.sha256(
+        f"{ckpt.input_fingerprint([docs_path])}|{BPE_SPEC_VERSION}"
+        f"|{max_types}".encode()).hexdigest()[:16]
+    os.makedirs(state_dir, exist_ok=True)
+    counts_path = os.path.join(state_dir, "word_counts.parquet")
+    counts_rec = os.path.join(state_dir, "word_counts.json")
+    merges_path = os.path.join(state_dir, "merges.parquet")
+    merges_rec = os.path.join(state_dir, "merges.json")
+
+    # ---- stage 1: word-type counts (the only corpus-sized work) ----
+    if ckpt.load_stage_record(counts_rec, lineage):
+        tbl = pq.read_table(counts_path)
+        words = np.asarray(tbl.column("w").to_pylist(), dtype=object)
+        counts = tbl.column("c").to_numpy().astype(np.int64)
+    else:
+        words, counts = word_type_counts(sf_dir)
+        tmp = f"{counts_path}.tmp.{os.getpid()}"
+        pq.write_table(pa.table({"w": pa.array(words, pa.string()),
+                                 "c": pa.array(counts, pa.int64())}), tmp)
+        os.replace(tmp, counts_path)
+        ckpt.write_stage_record(counts_rec, {
+            "lineage_id": lineage, "status": "complete",
+            "n_types": int(len(words))})
+
+    # ---- stage 2: merge loop with periodic checkpoints ----
+    wtypes, wcounts = _select_types(words, counts, max_types)
+    seqs: list[list[str]] = [list(w) for w in wtypes]
+    state: dict[str, list] = {k: [] for k in
+                              ("ranks", "lefts", "rights", "mergeds",
+                               "pcounts")}
+    rec = ckpt.load_stage_record(merges_rec, lineage)
+    if rec:
+        done = pq.read_table(merges_path).slice(0, rec["n_merges_done"])
+        if done.num_rows >= n_merges:
+            return done.slice(0, n_merges)
+        state["ranks"] = done.column("merge_rank").to_pylist()
+        state["lefts"] = done.column("left").to_pylist()
+        state["rights"] = done.column("right").to_pylist()
+        state["mergeds"] = done.column("merged").to_pylist()
+        state["pcounts"] = done.column("pair_count").to_pylist()
+        # replay: application only — no pair statistics recomputed
+        for left, right in zip(state["lefts"], state["rights"]):
+            for i, s in enumerate(seqs):
+                if len(s) > 1:
+                    seqs[i] = _merge_seq(s, left, right)
+
+    n_checkpoints = 0
+
+    def _commit(n_done: int) -> None:
+        tmp = f"{merges_path}.tmp.{os.getpid()}"
+        pq.write_table(_merges_table(state), tmp)
+        os.replace(tmp, merges_path)
+        ckpt.write_stage_record(merges_rec, {
+            "lineage_id": lineage, "status": "complete",
+            "n_merges_done": n_done})
+
+    def on_merge(rank: int) -> None:
+        nonlocal n_checkpoints
+        if rank % checkpoint_every == 0:
+            _commit(rank)
+            n_checkpoints += 1
+            if (_crash_after_checkpoints is not None
+                    and n_checkpoints >= _crash_after_checkpoints):
+                raise RuntimeError(
+                    "injected crash after "
+                    f"{n_checkpoints} merge checkpoints (test hook)")
+
+    out = _merge_loop(seqs, wcounts, state, n_merges, on_merge=on_merge)
+    _commit(len(state["ranks"]))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,33 @@ def run_summary(out_dir: str) -> dict:
     if total["turns_processed"]:
         total["boilerplate_ratio"] = weighted_bp / total["turns_processed"]
     return total
+
+
+# ---------------------------------------------------------------------------
+# Generic stage commit records — the lightweight primitive behind the
+# suite's non-flagship checkpointed pipelines (corpus_preprocess, BPE
+# training).  Same protocol as the flagship manifests: a record is
+# written atomically AFTER its stage's data is fully on disk, carries
+# the lineage id, and a rerun trusts a record only under an identical
+# lineage (reference D2 skip-existing semantics, util/ocr.py:151-161).
+# ---------------------------------------------------------------------------
+
+
+def write_stage_record(path: str, payload: dict) -> None:
+    """Atomic commit record (tmp + rename) — a crash mid-write never
+    yields a trusted record."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_stage_record(path: str, lineage_id: str) -> dict | None:
+    """The record at ``path`` iff it parses and matches the lineage."""
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return rec if rec.get("lineage_id") == lineage_id else None

@@ -306,3 +306,15 @@ def test_pca_batchsize_invariant(ray_session, tmp_path):
     mean, comps = pca_components(q.sum(axis=0), q.T @ q, len(q))
     y = (mm - mean) @ comps
     assert (a.pc1.to_numpy() == y[:, 0].astype(np.float32)).all()
+
+
+def test_jaccard_dense_budget_raises_loudly(ray_session, monkeypatch):
+    """Beyond the dense-incidence budget the exact anchor must fail with
+    a pointer to the LSH scale path, not OOM the driver."""
+    import pytest
+
+    from amazon_textract_transformer_pipeline_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "JACCARD_DENSE_BUDGET_BYTES", 64)
+    with pytest.raises(ValueError, match="q_minhash_lsh_pairs"):
+        dedup.q_jaccard_dup_pairs(SF)
