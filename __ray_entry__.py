@@ -374,6 +374,17 @@ def _x_review_queue(sf_dir: str):
     return q_review_queue_from_paths(_oracle_fixtures(sf_dir))
 
 
+def _x_post_review(sf_dir: str):
+    """The merged post-review corpus (reference fn-review-callback
+    consolidation): synthesized human answers reinjected over the
+    extraction output.  SQL-checked — the closed-form answer rule is
+    restated verbatim over the independent oracle's turns fixture."""
+    from amazon_textract_transformer_pipeline_ray.pipelines.review import (
+        q_post_review_from_paths)
+
+    return q_post_review_from_paths(_oracle_fixtures(sf_dir))
+
+
 def _aux(sf_dir: str, name: str) -> None:
     """Guarantee the independent-oracle expected table ``name`` exists
     for this corpus and ``/tmp/attp_oracle_aux/current`` points at it
@@ -640,12 +651,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_bundle_roundtrip": _w_media_bundle_roundtrip,  # SQL-checked
         "media_png_roundtrip": _w_media_png_roundtrip,  # SQL-checked
         "media_wav_roundtrip": _w_media_wav_roundtrip,  # SQL-checked
-        "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
-        # (independent stdlib-wave fixture)
         # external-API source (S5): paginated NextToken-linked chunk
         # files -> custom Datasource merge -> parser; oracle reads the
         # RAW unmerged chunks with DuckDB read_json
         "api_paged_blocks": _w_api_paged_blocks,  # SQL-checked
+        # round-4 addition (verdict item 8): the review-loop round trip's
+        # merged output table — new, so it takes a front-50 seat
+        # (media_y4m_roundtrip deferred below; its PNG/WAV/frame/bundle
+        # siblings keep the codec suite in the sample)
+        "x_post_review": _x_post_review,  # SQL-checked
         # ==================== 50-entry driver boundary ====================
         # Everything below was driver-checked green in CORRECTNESS_r03.json
         # (or is one of 8 deferred text-analysis queries noted below); all
@@ -723,6 +737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_rollup": text.q_doc_stats_rollup,  # SQL-checked
         # (GROUPING SETS oracle)
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
+        "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
+        # (deferred from the front-50 to seat x_post_review; its five
+        # codec siblings remain in the driver sample)
     }
 
 
@@ -832,6 +849,31 @@ def _sql_registry() -> dict[str, str]:
         """,
         "x_review_queue":
             f"SELECT * FROM {fix.format(name='review_queue')}",
+        # The post-review merge restated over the INDEPENDENT turns
+        # fixture: the synthesized-answer rule (corrected iff first hex
+        # digit of md5("conv:turn") < '8', correction = prefix concat)
+        # is closed-form, so the whole consolidation is one SQL join —
+        # see pipelines/review.py synthesize_review_results:
+        "x_post_review": f"""
+            WITH t AS (SELECT * FROM {fix.format(name='turns')}),
+            r AS (SELECT conv_id, turn_idx,
+                         substr(md5(conv_id || ':'
+                                    || CAST(turn_idx AS VARCHAR)), 1, 1)
+                             < '8' AS corrected
+                  FROM t WHERE review_needed)
+            SELECT t.conv_id, t.turn_idx, t.role,
+                   CASE WHEN r.corrected
+                        THEN '[human] ' || t.extracted_text
+                        ELSE t.extracted_text END AS extracted_text,
+                   CASE WHEN r.conv_id IS NOT NULL THEN CAST(1.0 AS REAL)
+                        ELSE t.doc_confidence END AS doc_confidence,
+                   CASE WHEN r.conv_id IS NOT NULL THEN FALSE
+                        ELSE t.review_needed END AS review_needed,
+                   CASE WHEN r.conv_id IS NULL THEN 'auto'
+                        WHEN r.corrected THEN 'corrected'
+                        ELSE 'confirmed' END AS review_status
+            FROM t LEFT JOIN r USING (conv_id, turn_idx)
+        """,
         "x_training_examples":
             f"SELECT * FROM {fix.format(name='training')}",
         "x_task_mlm": f"SELECT * FROM {fix.format(name='mlm')}",

@@ -191,3 +191,60 @@ def q_review_queue_from_paths(paths: Sequence[str]) -> rd.Dataset:
 
     return build_review_queue(
         build_turns(read_transcripts(list(paths)), batch_size=256))
+
+
+# Closed-form synthetic human answers (SQL-restatable, so the merged
+# post-review corpus is externally oracle-checkable): a queued turn is
+# CORRECTED iff the first hex digit of md5("{conv_id}:{turn_idx}") is
+# below '8' (≈half), with the correction a pure prefix concatenation;
+# the other half the reviewer CONFIRMS as-is.
+REVIEW_CORRECT_HEX = "8"
+REVIEW_CORRECT_PREFIX = "[human] "
+
+
+def synthesize_review_results(queue: pa.Table | pd.DataFrame) -> pa.Table:
+    """Deterministic stand-in for the A2I human answers over a review
+    queue (the sandbox has no humans; the reference consumes real A2I
+    result JSON, fn-review-callback/main.py:41-100).  Pure function of
+    the queue under the closed-form rule above — resumable, and the
+    rule is restated verbatim in the x_post_review oracle SQL."""
+    import hashlib
+
+    if isinstance(queue, pa.Table):
+        queue = queue.to_pandas()
+    conv = queue["conv_id"].tolist()
+    tix = [int(t) for t in queue["turn_idx"]]
+    texts = queue["extracted_text"].tolist()
+    corrected = [
+        (REVIEW_CORRECT_PREFIX + x)
+        if hashlib.md5(f"{c}:{t}".encode()).hexdigest()[0]
+        < REVIEW_CORRECT_HEX else None
+        for c, t, x in zip(conv, tix, texts)
+    ]
+    return pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(tix, pa.int32()),
+        "corrected_text": pa.array(corrected, pa.string()),
+    })
+
+
+POST_REVIEW_COLS = ["conv_id", "turn_idx", "role", "extracted_text",
+                    "doc_confidence", "review_needed", "review_status"]
+
+
+def q_post_review_from_paths(paths: Sequence[str]) -> rd.Dataset:
+    """The merged POST-REVIEW corpus — the reference's review-callback
+    consolidation output (human answers folded back over the model's
+    extractions, fn-review-callback/main.py:41-100) as one table:
+    extraction -> confidence gate -> synthesized human answers ->
+    reinjection.  Queue and answers are human-scale (the gate exists to
+    keep them so) — materialized on the driver and broadcast; the turns
+    table itself streams through one map_batches, zero shuffles."""
+    from .extraction import build_turns, read_transcripts
+
+    turns = build_turns(read_transcripts(list(paths)), batch_size=256)
+    queue = build_review_queue(turns).select_columns(
+        ["conv_id", "turn_idx", "extracted_text"]).to_pandas()
+    results = synthesize_review_results(queue)
+    return (apply_review_results(turns, results)
+            .select_columns(POST_REVIEW_COLS))

@@ -120,3 +120,44 @@ def test_reinjection_overrides_model_output(run_dir):
     pd.testing.assert_frame_equal(
         final.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
         final2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+def test_post_review_corpus_query(ray_session, tmp_path):
+    """q_post_review_from_paths: every queued turn resolves (half
+    corrected by the closed-form md5 rule, half confirmed), no pending
+    rows remain, non-queued rows ride through untouched as 'auto'."""
+    import hashlib
+
+    from amazon_textract_transformer_pipeline_ray.fixtures import (
+        write_transcripts)
+    from amazon_textract_transformer_pipeline_ray.pipelines.extraction import (
+        build_turns, read_transcripts)
+    from amazon_textract_transformer_pipeline_ray.pipelines.review import (
+        REVIEW_CORRECT_HEX, REVIEW_CORRECT_PREFIX, q_post_review_from_paths)
+
+    paths = write_transcripts(str(tmp_path / "in"), 1500, n_shards=2)
+    base = (build_turns(read_transcripts(paths), batch_size=256)
+            .to_pandas().set_index(["conv_id", "turn_idx"]))
+    got = (q_post_review_from_paths(paths).to_pandas()
+           .set_index(["conv_id", "turn_idx"]))
+    assert len(got) == len(base)
+    assert not got["review_needed"].any()          # every review resolved
+    assert (got["review_status"] != "pending").all()
+    flagged = base[base["review_needed"]]
+    assert len(flagged) > 0
+    for (c, t), row in flagged.iterrows():
+        out = got.loc[(c, t)]
+        corrected = (hashlib.md5(f"{c}:{t}".encode()).hexdigest()[0]
+                     < REVIEW_CORRECT_HEX)
+        if corrected:
+            assert out["review_status"] == "corrected"
+            assert out["extracted_text"] == (
+                REVIEW_CORRECT_PREFIX + row["extracted_text"])
+        else:
+            assert out["review_status"] == "confirmed"
+            assert out["extracted_text"] == row["extracted_text"]
+        assert out["doc_confidence"] == np.float32(1.0)
+    auto = got[got["review_status"] == "auto"]
+    assert len(auto) == len(base) - len(flagged)
+    assert (auto["extracted_text"]
+            == base.loc[auto.index, "extracted_text"]).all()
