@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="encode mode: path to a bpe_merges.parquet "
                           "written by --mode merges; skips retraining "
                           "and encodes under that tokenizer")
+    tok.add_argument("--state-dir", default=None,
+                     help="merges mode: checkpoint directory — training "
+                          "resumes from committed word counts + merge "
+                          "checkpoints after a crash (D2 semantics)")
 
     ch = sub.add_parser(
         "chunk",
@@ -162,6 +166,27 @@ def main(argv: list[str] | None = None) -> int:
                          "diversity = type-token ratio; normalize = "
                          "canonical-form fingerprints; chunks-rollup = "
                          "lang x source grouping-sets stats")
+
+    rn = sub.add_parser(
+        "render",
+        help="human spot-check: print inline span markup + page-geometry "
+             "sketches for sample turns of a checkpointed run "
+             "(reference notebooks/util/viz.py analog)")
+    rn.add_argument("--out", required=True,
+                    help="checkpointed run directory (reads <out>/data)")
+    rn.add_argument("--limit", type=int, default=5)
+    rn.add_argument("--review-only", action="store_true",
+                    help="only turns the confidence gate flagged")
+    rn.add_argument("--no-sketch", action="store_true")
+
+    pr = sub.add_parser(
+        "preprocess-run",
+        help="checkpointed corpus-preprocess run (resumable: "
+             "per-partition signal manifests + committed verdict)")
+    pr.add_argument("--table-dir", required=True,
+                    help="directory holding documents.parquet")
+    pr.add_argument("--out", required=True, help="output/state directory")
+    pr.add_argument("--partitions", type=int, default=32)
 
     cp = sub.add_parser(
         "compact",
@@ -305,7 +330,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines import tokenizer as tok_mod
 
         if args.mode == "merges":
-            table = tok_mod.q_vocab_bpe_merges(args.table_dir)
+            if args.state_dir:
+                table = tok_mod.train_bpe_checkpointed(args.table_dir,
+                                                       args.state_dir)
+            else:
+                table = tok_mod.q_vocab_bpe_merges(args.table_dir)
             os.makedirs(args.dest, exist_ok=True)
             pq_mod.write_table(
                 table, os.path.join(args.dest, "bpe_merges.parquet"))
@@ -367,6 +396,28 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": args.mode,
                           "rows": rd.read_parquet(args.dest).count(),
                           "dest": args.dest}))
+        return 0
+
+    if args.cmd == "render":
+        import ray.data as rd
+
+        from .functions.viz import render_turn
+        from .pipelines.extraction import read_turns_output
+
+        ds = read_turns_output(args.out)
+        if args.review_only:
+            ds = ds.filter(lambda r: bool(r["review_needed"]))
+        for row in ds.limit(args.limit).iter_rows():
+            print(render_turn(row, sketch=not args.no_sketch))
+            print()
+        return 0
+
+    if args.cmd == "preprocess-run":
+        from .pipelines import preprocess as pp_run_mod
+
+        summary = pp_run_mod.run_preprocess_checkpointed(
+            args.table_dir, args.out, num_partitions=args.partitions)
+        print(json.dumps(summary))
         return 0
 
     if args.cmd == "compact":

@@ -39,10 +39,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# 600k turns keeps the 32-CPU wall >= ~10 s so the ~2 s per-job executor
-# ramp/drain stays a small fraction of the measurement (the corpus must
-# scale with kernel speed — see BASELINE.md, r3o vs r3p):
-SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "600000"))
+# 1.8M turns keeps the 32-CPU wall ~40 s so the ~2 s per-job executor
+# ramp/drain is <5% of the hi-side measurement (at round 3's 600k the
+# hi wall had fallen to ~13 s as the kernel sped up, making the fixed
+# ramp a 15% asymmetric tax on the hi side only — the corpus must scale
+# with kernel speed; see BASELINE.md, r3o vs r3p and the r4 windows):
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "1800000"))
 SCALING_SHARDS = 256  # many small shards -> one fused
 # ReadParquet->MapBatches->Write operator (no plasma hop for input data)
 # AND enough tasks to pack any CPU count

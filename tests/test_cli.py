@@ -1,6 +1,7 @@
 """CLI surface (run / summary / eval) driven in-process."""
 
 import json
+import os
 
 from amazon_textract_transformer_pipeline_ray.__main__ import main
 from amazon_textract_transformer_pipeline_ray.fixtures import write_transcripts
@@ -253,3 +254,43 @@ def test_cli_analyze_modes(ray_session, tmp_path, capsys):
         assert r["rows"] == n and r["mode"] == mode
     div = pd.read_parquet(str(tmp_path / "out_diversity"))
     assert div.sort_values("doc_id")["ttr"].tolist() == [1.0, 1.0, 0.25]
+
+
+def test_cli_checkpointed_preprocess_and_bpe_state(ray_session, tmp_path,
+                                                   capsys):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(1, 9)),
+        "text": [f"body text number {i % 3} " * 30 for i in range(8)],
+        "lang": ["en"] * 8,
+        "source": ["web1", "web2"] * 4,
+    })
+    docs["n_chars"] = docs.text.str.len()
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(table_dir / "documents.parquet"))
+
+    out = str(tmp_path / "ppout")
+    assert main(["preprocess-run", "--table-dir", str(table_dir),
+                 "--out", out, "--partitions", "4"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_docs"] == 8 and r["recomputed_partitions"] == 4
+    # resume is a no-op
+    assert main(["preprocess-run", "--table-dir", str(table_dir),
+                 "--out", out, "--partitions", "4"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["recomputed_partitions"] == 0
+
+    dest = str(tmp_path / "merges")
+    state = str(tmp_path / "bpe_state")
+    assert main(["tokenize", "--table-dir", str(table_dir),
+                 "--dest", dest, "--mode", "merges",
+                 "--state-dir", state]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] > 0
+    assert os.path.exists(os.path.join(state, "word_counts.parquet"))
+    assert os.path.exists(os.path.join(state, "merges.json"))
