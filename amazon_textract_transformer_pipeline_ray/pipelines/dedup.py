@@ -365,10 +365,13 @@ def q_minhash_lsh_pairs(sf_dir: str,
     n_shards = shuffle_width(
         n_rows=table_num_rows(sf_dir, "documents") * LSH_BANDS,
         rows_per_shard=LSH_ROWS_PER_SHARD)
+    # Instance (plain callable) -> task-based stage: the UDF is
+    # stateless, so tasks beat an actor pool twice — no per-query pool
+    # spin-up, and parallelism scales with the cluster instead of a
+    # fixed actor cap:
     bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
-             .map_batches(MinHasher, batch_format="pyarrow",
-                          fn_constructor_kwargs={"n_shards": n_shards},
-                          batch_size=4096, concurrency=(1, 4)))
+             .map_batches(MinHasher(n_shards=n_shards),
+                          batch_format="pyarrow", batch_size=4096))
 
     def bucket_pairs(band: int, ids: np.ndarray, bh: np.ndarray,
                      sets: list[np.ndarray]) -> pd.DataFrame | None:
@@ -511,8 +514,8 @@ def q_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     """Per-document winnowing fingerprint sets (rows-only; the
     match-guarantee property is asserted in tests)."""
     return (read_table(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(Winnower, batch_format="pyarrow", batch_size=4096,
-                         concurrency=(1, 4)))
+            .map_batches(Winnower(), batch_format="pyarrow",
+                         batch_size=4096))
 
 
 def simhash64(text: str) -> int:
@@ -561,17 +564,25 @@ def _simhash_batch(texts: list[str]) -> np.ndarray:
     return out
 
 
+def _simhash_table(batch: pa.Table) -> pa.Table:
+    # int64 bit-reinterpretation for the driver-visible column: the
+    # pandas/DuckDB hash round trip never sees an out-of-int64 uint
+    # (the bits are identical; consumers view back to uint64):
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "simhash": pa.array(
+            _simhash_batch(batch.column("text").to_pylist())
+            .view(np.int64)),
+    })
+
+
 class SimHasher:
+    """Kept for API compatibility; the stage itself is stateless, so
+    ``q_simhash`` maps the plain function (task pool — no actor-pool
+    spin-up, which dominated small-input wall time)."""
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # int64 bit-reinterpretation for the driver-visible column: the
-        # pandas/DuckDB hash round trip never sees an out-of-int64 uint
-        # (the bits are identical; consumers view back to uint64):
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "simhash": pa.array(
-                _simhash_batch(batch.column("text").to_pylist())
-                .view(np.int64)),
-        })
+        return _simhash_table(batch)
 
 
 def q_simhash(sf_dir: str) -> rd.Dataset:
@@ -579,8 +590,8 @@ def q_simhash(sf_dir: str) -> rd.Dataset:
     SQL-checked against the independent-oracle fixture,
     ``oracle_fixture_aux.py``)."""
     return (read_table(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(SimHasher, batch_format="pyarrow", batch_size=8192,
-                         concurrency=(1, 4)))
+            .map_batches(_simhash_table, batch_format="pyarrow",
+                         batch_size=8192))
 
 
 def q_winnow_fingerprints_exploded(sf_dir: str) -> rd.Dataset:

@@ -198,8 +198,8 @@ class RollingFingerprinter:
 def q_doc_fingerprint_rolling(sf_dir: str) -> rd.Dataset:
     """Per-document polynomial rolling-hash fingerprint (rows-only)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(RollingFingerprinter, batch_format="pyarrow",
-                          batch_size=8192, concurrency=(1, 4))
+    return ds.map_batches(RollingFingerprinter(), batch_format="pyarrow",
+                          batch_size=8192)
 
 
 def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
@@ -257,8 +257,8 @@ class QualityScorer:
 
 def q_doc_quality(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(QualityScorer, batch_format="pyarrow",
-                          batch_size=8192, concurrency=(1, 4))
+    return ds.map_batches(QualityScorer(), batch_format="pyarrow",
+                          batch_size=8192)
 
 
 # Character n-gram profiles per language for the heuristic language ID.
@@ -302,8 +302,8 @@ class LangId:
 
 def q_doc_langid(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=8192,
-                          concurrency=(1, 4))
+    return ds.map_batches(LangId(), batch_format="pyarrow",
+                          batch_size=8192)
 
 
 def q_doc_length_quantiles_by_lang(sf_dir: str) -> rd.Dataset:
