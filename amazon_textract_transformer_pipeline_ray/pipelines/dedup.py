@@ -63,6 +63,15 @@ LSH_ROWS_PER_SHARD = 32768
 JACCARD_DENSE_BUDGET_BYTES = int(
     os.environ.get("GRAFT_JACCARD_DENSE_BUDGET", 2 << 30))
 
+# Work budget for the same query's O(n^2) blockwise crossing (n^2 cells,
+# each a |vocab|-deep dot product).  The dense-bytes budget alone does
+# not bound this: a corpus of many docs over a SMALL shared vocabulary
+# fits the 2 GiB matrix yet makes the crossing quadratic-dominant (the
+# 10x sf1 scale proof measured 110x the sf0.1 wall before this guard).
+# 4e8 cells ~= 20k docs — the same ceiling the dense budget implies.
+JACCARD_PAIR_BUDGET_CELLS = int(
+    os.environ.get("GRAFT_JACCARD_PAIR_BUDGET", 4 * 10**8))
+
 
 def _tokens(text: str) -> list[str]:
     t = text.strip()
@@ -169,6 +178,16 @@ def q_jaccard_dup_pairs(sf_dir: str,
     # Dense incidence over the (small) union vocabulary — ONE vectorized
     # scatter (np.repeat rows x searchsorted cols), no per-doc loop:
     vocab = np.unique(flat)
+    cells = int(n) * int(n)
+    if cells > JACCARD_PAIR_BUDGET_CELLS:
+        raise ValueError(
+            f"q_jaccard_dup_pairs: exact all-pairs crossing needs {cells:,} "
+            f"cells ({n:,} docs squared) > budget "
+            f"{JACCARD_PAIR_BUDGET_CELLS:,}. This query is the documented "
+            "EXACT all-pairs anchor for oracle checks at small scale; at "
+            "this size use q_minhash_lsh_pairs (or "
+            "q_jaccard_dedup_clusters) — the scale path with no broadcast "
+            "matrix and no quadratic.")
     budget = JACCARD_DENSE_BUDGET_BYTES
     need = int(n) * max(len(vocab), 1) * 4
     if need > budget:

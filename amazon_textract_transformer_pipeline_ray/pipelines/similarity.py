@@ -26,6 +26,8 @@ generation and exact verification all run inside ``map_batches`` /
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -37,6 +39,14 @@ from ..sources.tables import broadcast, read_table
 KNN_K = 5
 N_QUERIES = 10  # vec_id < N_QUERIES are the query set
 DUP_COSINE = 0.95
+
+# Work budget for q_embedding_dup_pairs' O(n^2) blockwise crossing (n^2
+# cosine cells).  Like the jaccard anchor's JACCARD_PAIR_BUDGET_CELLS, a
+# misuse at big scale must fail LOUDLY with a pointer to the LSH twin,
+# not grind quadratically / OOM the broadcast.  1e10 cells ~= 1e5
+# vectors — the docstring's stated ceiling for the exact variant.
+EMBEDDING_PAIR_BUDGET_CELLS = int(
+    os.environ.get("GRAFT_EMBEDDING_PAIR_BUDGET", 10**10))
 
 
 def _list_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
@@ -173,10 +183,22 @@ def q_embedding_dup_pairs(sf_dir: str,
     """All vector pairs with cosine >= threshold (ids only, a < b).
 
     Blockwise: each batch multiplies against the full normalized matrix
-    (broadcast once).  O(n^2) contact — right up to ~10^5 vectors; beyond
-    that bucket with LSH first (see q_embedding_knn_lsh)."""
+    (broadcast once).  O(n^2) contact — right up to ~10^5 vectors
+    (EMBEDDING_PAIR_BUDGET_CELLS raises loudly beyond that); past it
+    bucket with LSH first (see q_embedding_dup_pairs_lsh)."""
     import pyarrow.parquet as pq
 
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet"
+                            ).metadata.num_rows
+    cells = n_rows * n_rows
+    if cells > EMBEDDING_PAIR_BUDGET_CELLS:
+        raise ValueError(
+            f"q_embedding_dup_pairs: exact all-pairs crossing needs "
+            f"{cells:,} cells ({n_rows:,} vectors squared) > budget "
+            f"{EMBEDDING_PAIR_BUDGET_CELLS:,}. This query is the "
+            "documented EXACT anchor for oracle checks at small scale; "
+            "at this size use q_embedding_dup_pairs_lsh — the scale path "
+            "with no broadcast matrix and no quadratic.")
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     all_ids = t.column("vec_id").to_numpy()

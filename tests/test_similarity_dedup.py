@@ -318,3 +318,30 @@ def test_jaccard_dense_budget_raises_loudly(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "JACCARD_DENSE_BUDGET_BYTES", 64)
     with pytest.raises(ValueError, match="q_minhash_lsh_pairs"):
         dedup.q_jaccard_dup_pairs(SF)
+
+
+def test_jaccard_pair_budget_raises_loudly(ray_session, monkeypatch):
+    """The O(n^2) crossing has its own cells budget (the dense-bytes
+    budget alone passes a many-docs/small-vocab corpus whose crossing is
+    quadratic-dominant — the sf1 scale proof measured 110x before this
+    guard).  Beyond it the anchor must fail with the LSH pointer."""
+    import pytest
+
+    from amazon_textract_transformer_pipeline_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "JACCARD_PAIR_BUDGET_CELLS", 4)
+    with pytest.raises(ValueError, match="q_minhash_lsh_pairs"):
+        dedup.q_jaccard_dup_pairs(SF)
+
+
+def test_embedding_pair_budget_raises_loudly(ray_session, monkeypatch):
+    """Same contract for the embedding exact anchor: beyond the n^2
+    cells budget it must point at the LSH twin, before reading any
+    embedding data."""
+    import pytest
+
+    from amazon_textract_transformer_pipeline_ray.pipelines import similarity
+
+    monkeypatch.setattr(similarity, "EMBEDDING_PAIR_BUDGET_CELLS", 4)
+    with pytest.raises(ValueError, match="q_embedding_dup_pairs_lsh"):
+        similarity.q_embedding_dup_pairs(SF)
