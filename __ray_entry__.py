@@ -740,6 +740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
         # (deferred from the front-50 to seat x_post_review; its five
         # codec siblings remain in the driver sample)
+        "doc_decontaminate_bloom": decontam.q_doc_decontaminate_bloom,
+        # SQL-checked (full Bloom restatement: md5-slice bit positions,
+        # eval bitmap as a DISTINCT-pos set, all-K membership conjunction)
     }
 
 
@@ -806,7 +809,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.filtering import (
         PII_EMAIL, PII_IPV4, PII_PHONE)
     from amazon_textract_transformer_pipeline_ray.pipelines.decontam import (
-        DECONTAM_SQL)
+        DECONTAM_BLOOM_SQL, DECONTAM_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
         CAP_PER_LANG_SQL, DOMAIN_MIX_SQL, SAMPLE_K_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
@@ -1565,6 +1568,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_lm_score_shuffled": LM_SCORE_SQL,
         "doc_decontaminate": DECONTAM_SQL,
         "doc_decontaminate_shuffled": DECONTAM_SQL,
+        "doc_decontaminate_bloom": DECONTAM_BLOOM_SQL,
         "doc_domain_mix": DOMAIN_MIX_SQL,
         "doc_sample_k": SAMPLE_K_SQL,
         "doc_cap_per_lang": CAP_PER_LANG_SQL,

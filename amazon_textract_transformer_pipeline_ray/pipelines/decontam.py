@@ -11,7 +11,9 @@ SQL-expressible).  Gram identity reuses the dedup suite's 64-bit
 polynomial over siphash token ids (`dedup._batch_gram_rows`), so the
 same collision bound applies.
 
-Two physical plans, identical results, one SQL oracle:
+Three physical plans; the first two give identical results under one
+SQL oracle, the third is a deterministic sketch SUPERSET with its own
+full SQL restatement:
 
 * ``q_doc_decontaminate`` — BROADCAST plan (the default): distill the
   eval slice to its distinct gram ids (eval sets are benchmark-sized —
@@ -25,9 +27,17 @@ Two physical plans, identical results, one SQL oracle:
   mark, then the union-with-zeros groupby(doc_id) fold (same shape as
   ``dedup.q_doc_dup_ngram_stats``).  Right when the "eval" side is
   itself web-scale (e.g. decontaminating against another corpus).
+* ``q_doc_decontaminate_bloom`` — CONSTANT-SIZE sketch twin: the eval
+  grams fold into one 8 KB Bloom bitmap (never grows with the eval
+  set), broadcast once; probes are vectorized bit tests.  A
+  deterministic superset of the exact answer — no false negatives, so
+  "keep" decisions stay safe; right when even the distinct-gram array
+  is too big to broadcast but a two-corpus shuffle is too expensive.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -223,6 +233,174 @@ DECONTAM_SQL = r"""
                 THEN CAST(COALESCE(h.nc, 0) AS DOUBLE) / t.n
                 ELSE 0.0 END AS contam_ratio,
            CAST(COALESCE(h.nc, 0) = 0 AS BIGINT) AS keep
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 20 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (the constant-size twin of the broadcast
+# plan: at 100 TB the eval side's distinct grams may not fit a worker
+# heap as a sorted uint64 array, but a Bloom bitmap never grows — the
+# sketch answer is a deterministic superset of the exact answer, so
+# "keep" decisions stay safe: nothing contaminated ever survives).
+# Bloom (1970, CACM) — standard k-hash bitmap membership.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 65536  # 2^16 bits (8 KB packed) — each 16-bit md5 slice
+# IS a bit position, so engine and SQL oracle share the arithmetic:
+# pos_j = CAST(('0x' || substr(md5(gram), 1+4*j, 4)) AS INTEGER)
+BLOOM_K = 4  # 4 disjoint 16-bit slices of the 128-bit md5
+
+
+def _gram_strings(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+    """(grams, doc_ix, n_ngrams): one SURFACE-STRING row per gram
+    POSITION (md5-contract ops hash the string itself, so the siphash
+    ids of ``_batch_gram_rows`` can't be used), plus per-doc position
+    totals.  The join loop is Python BY CONTRACT — the md5 input must
+    be byte-identical to the SQL oracle's ``array_to_string`` output."""
+    tok_lists = [_tokens(t) for t in texts]
+    n = len(texts)
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                         count=n)
+    n_ngrams = np.maximum(counts - (NGRAM_N - 1), 0)
+    grams: list[str] = []
+    for toks in tok_lists:
+        grams.extend(" ".join(toks[i:i + NGRAM_N])
+                     for i in range(len(toks) - (NGRAM_N - 1)))
+    doc_ix = np.repeat(np.arange(n, dtype=np.int64), n_ngrams)
+    return np.array(grams, dtype=object), doc_ix, n_ngrams
+
+
+def _bloom_positions(grams: np.ndarray) -> np.ndarray:
+    """(len(grams), K) int32 bit positions.  md5 runs once per DISTINCT
+    gram (callers pass uniques); the digest slicing mirrors the SQL."""
+    out = np.empty((len(grams), BLOOM_K), np.int32)
+    for i, g in enumerate(grams):
+        hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+        for j in range(BLOOM_K):
+            out[i, j] = int(hx[4 * j:4 * j + 4], 16)
+    return out
+
+
+def _bloom_bitmap(sf_dir: str) -> np.ndarray:
+    """Bool[BLOOM_M_BITS] bitmap of the eval slice's grams.  Each task
+    emits ONE constant-size packed row (8 KB) regardless of input size —
+    the reduction the exact broadcast plan can't have; the driver ORs
+    a handful of bitmaps, never sees a gram."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        mask = ids % EVAL_MOD == 0
+        texts = [tx for tx, m in
+                 zip(t.column("text").to_pylist(), mask) if m]
+        bm = np.zeros(BLOOM_M_BITS, bool)
+        if texts:
+            grams, _, _ = _gram_strings(texts)
+            uniq = pd.unique(grams)
+            if len(uniq):
+                bm[_bloom_positions(uniq).ravel()] = True
+        return pa.table({"bitmap": pa.array([np.packbits(bm).tobytes()],
+                                            pa.binary())})
+
+    bm = np.zeros(BLOOM_M_BITS, bool)
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=1024)
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for raw in b.column("bitmap").to_pylist():
+            bm |= np.unpackbits(np.frombuffer(raw, np.uint8)).astype(bool)
+    return bm
+
+
+def q_doc_decontaminate_bloom(sf_dir: str) -> rd.Dataset:
+    """Per-TRAINING-doc eval-overlap stats via a Bloom membership
+    sketch: (doc_id, n_ngrams, n_bloom_hits, bloom_ratio, keep_bloom).
+
+    ``n_bloom_hits`` counts gram POSITIONS passing the Bloom test (all
+    K md5-slice bits set) — a deterministic SUPERSET of
+    ``q_doc_decontaminate``'s exact ``n_contam`` (no false negatives;
+    tests assert the containment), so ``keep_bloom = 1`` implies the
+    exact plan's ``keep = 1``.  The broadcast is 8 KB regardless of
+    eval-set size — the plan that still works when the eval side is
+    itself web-scale but a two-corpus shuffle
+    (``q_doc_decontaminate_shuffled``) is too expensive."""
+    bm_ref = broadcast(_bloom_bitmap(sf_dir))
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        train = ids % EVAL_MOD != 0
+        texts = [tx for tx, m in
+                 zip(t.column("text").to_pylist(), train) if m]
+        tids = ids[train]
+        grams, doc_ix, n_ngrams = _gram_strings(texts)
+        n_hits = np.zeros(len(texts), np.int64)
+        if len(grams):
+            codes, uniq = pd.factorize(grams)
+            hit_u = bm[_bloom_positions(uniq)].all(axis=1)
+            np.add.at(n_hits, doc_ix, hit_u[codes].astype(np.int64))
+        n = n_ngrams.astype(np.float64)
+        h = n_hits.astype(np.float64)
+        ratio = np.divide(h, n, out=np.zeros_like(h), where=n > 0)
+        return pa.table({
+            "doc_id": pa.array(tids),
+            "n_ngrams": pa.array(n_ngrams.astype(np.int64)),
+            "n_bloom_hits": pa.array(n_hits),
+            "bloom_ratio": pa.array(ratio),
+            "keep_bloom": pa.array((n_hits == 0).astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=1024)
+
+
+DECONTAM_BLOOM_SQL = r"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents WHERE trim(text) <> ''),
+    grams AS MATERIALIZED (
+        SELECT t.doc_id,
+               array_to_string(t.ts[r.i:r.i+7], ' ') AS g
+        FROM tok t, unnest(range(1, len(t.ts) - 6)) AS r(i)),
+    ev AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT CAST(('0x' || substr(md5(g), 1 + 4*u.j, 4))
+                             AS INTEGER) AS pos
+        FROM ev, unnest([0, 1, 2, 3]) AS u(j)),
+    tg AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 4)) AS INTEGER) AS p0,
+               CAST(('0x' || substr(md5(g), 5, 4)) AS INTEGER) AS p1,
+               CAST(('0x' || substr(md5(g), 9, 4)) AS INTEGER) AS p2,
+               CAST(('0x' || substr(md5(g), 13, 4)) AS INTEGER) AS p3
+        FROM grams WHERE doc_id % 20 <> 0),
+    hits AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+        FROM tg
+        WHERE p0 IN (SELECT pos FROM bits)
+          AND p1 IN (SELECT pos FROM bits)
+          AND p2 IN (SELECT pos FROM bits)
+          AND p3 IN (SELECT pos FROM bits)
+        GROUP BY doc_id),
+    tot AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE
+                   greatest(len(regexp_split_to_array(trim(text),
+                                                      '\s+')) - 7, 0)
+               END AS n
+        FROM documents)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_bloom_hits,
+           CASE WHEN COALESCE(t.n, 0) > 0
+                THEN CAST(COALESCE(h.nh, 0) AS DOUBLE) / t.n
+                ELSE 0.0 END AS bloom_ratio,
+           CAST(COALESCE(h.nh, 0) = 0 AS BIGINT) AS keep_bloom
     FROM documents d
     LEFT JOIN tot t USING (doc_id)
     LEFT JOIN hits h USING (doc_id)

@@ -100,3 +100,57 @@ def test_no_eval_docs_means_all_kept(ray_session, tmp_path):
     assert (got.keep == 1).all() and (got.n_contam == 0).all()
     got2 = q_doc_decontaminate_shuffled(sf_dir).to_pandas()
     assert (got2.keep == 1).all() and len(got2) == 2
+
+
+def test_bloom_plan_superset_and_naive_bloom(ray_session, corpus):
+    """The Bloom sketch must (a) match a naive single-process Bloom
+    bit-for-bit (same md5-slice arithmetic) and (b) be a superset of
+    the exact plan — no false negatives, ever."""
+    import hashlib
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.decontam import (
+        BLOOM_K, q_doc_decontaminate_bloom)
+
+    sf_dir, texts = corpus
+
+    def positions(g):
+        hx = hashlib.md5(g.encode()).hexdigest()
+        return [int(hx[4 * j:4 * j + 4], 16) for j in range(BLOOM_K)]
+
+    def grams(t):
+        ts = t.split()
+        return [" ".join(ts[i:i + N]) for i in range(len(ts) - N + 1)]
+
+    bits = {p for i, t in texts.items() if i % EVAL_MOD == 0
+            for g in set(grams(t)) for p in positions(g)}
+    exp = {}
+    for i, t in texts.items():
+        if i % EVAL_MOD == 0:
+            continue
+        gs = grams(t)
+        nh = sum(1 for g in gs if all(p in bits for p in positions(g)))
+        exp[i] = (len(gs), nh)
+
+    got = q_doc_decontaminate_bloom(sf_dir).to_pandas().set_index("doc_id")
+    assert sorted(got.index) == sorted(exp)
+    for i, (n, nh) in exp.items():
+        row = got.loc[i]
+        assert (row.n_ngrams, row.n_bloom_hits) == (n, nh), (i, dict(row))
+        assert row.keep_bloom == int(nh == 0)
+
+    # containment vs the exact plan (superset, never a false negative)
+    ex = q_doc_decontaminate(sf_dir).to_pandas().set_index("doc_id")
+    j = got.join(ex, rsuffix="_ex")
+    assert (j.n_bloom_hits >= j.n_contam).all()
+    assert (j.keep_bloom <= j.keep).all()
+
+
+def test_bloom_empty_eval_keeps_everything(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.decontam import (
+        q_doc_decontaminate_bloom)
+
+    texts = {1: " ".join(f"a{k}" for k in range(12)),
+             2: " ".join(f"b{k}" for k in range(12))}
+    sf_dir = _write_docs(tmp_path, texts)
+    got = q_doc_decontaminate_bloom(sf_dir).to_pandas()
+    assert (got.keep_bloom == 1).all() and (got.n_bloom_hits == 0).all()
