@@ -743,6 +743,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate_bloom": decontam.q_doc_decontaminate_bloom,
         # SQL-checked (full Bloom restatement: md5-slice bit positions,
         # eval bitmap as a DISTINCT-pos set, all-K membership conjunction)
+        "token_counts_cms": scoring.q_token_counts_cms,
+        # SQL-checked (full Count-Min restatement: md5-slice counter
+        # positions, bounded cell fold, min-over-rows estimate +
+        # exact-recount guarantee columns)
     }
 
 
@@ -813,7 +817,8 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
         CAP_PER_LANG_SQL, DOMAIN_MIX_SQL, SAMPLE_K_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
-        DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL, VOCAB_TOP_SQL)
+        DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL, TOKEN_CMS_SQL,
+        VOCAB_TOP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.preprocess import (
         CORPUS_PREPROCESS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
@@ -1546,6 +1551,7 @@ def _sql_registry() -> dict[str, str]:
         "vocab_top": VOCAB_TOP_SQL,
         "doc_dsir_weights": DSIR_SQL,
         "token_heavy_hitters": HEAVY_HITTERS_SQL,
+        "token_counts_cms": TOKEN_CMS_SQL,
         "token_postings": POSTINGS_SQL,
         "doc_tfidf_top_terms": TFIDF_SQL,
         "bm25_scores": BM25_SQL,

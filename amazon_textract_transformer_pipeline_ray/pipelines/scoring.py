@@ -572,3 +572,168 @@ HEAVY_HITTERS_SQL = r"""
     FROM tc, tot
     WHERE tc.c >= CAST(ceil(0.001 * tot.n) AS BIGINT)
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch token counts (Cormode & Muthukrishnan 2005, public
+# paper) — the FREQUENCY sketch completing the suite's sketch classes
+# (HLL = distinct, Bloom = membership, CMS = frequency).  The counter
+# table is bounded at CMS_D x CMS_W cells NO MATTER the corpus size:
+# per-batch partials emit at most D*W (j, pos, c) rows, one tiny
+# groupby folds them, and every estimate is a deterministic
+# OVER-estimate of the exact count (min over D row-hashes of summed
+# collisions) — the guarantee tests assert.  Positions are md5 hex
+# slices mod W so DuckDB replays the sketch exactly.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # rows (disjoint 16-bit md5 slices, like the Bloom's K)
+CMS_W = 8192  # counters per row
+
+
+def _cms_positions(tokens: np.ndarray, width: int) -> np.ndarray:
+    """(len(tokens), D) int64 counter positions; md5 once per token
+    (callers pass DISTINCT tokens).  Same Python-loop-by-contract as
+    every md5-checked op (the digest must match DuckDB's).  ``width``
+    is threaded explicitly because the UDFs run in worker processes
+    (a module-global override on the driver would not reach them)."""
+    import hashlib
+
+    out = np.empty((len(tokens), CMS_D), np.int64)
+    for i, w in enumerate(tokens):
+        hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+        for j in range(CMS_D):
+            out[i, j] = int(hx[4 * j:4 * j + 4], 16) % width
+    return out
+
+
+def q_token_counts_cms(sf_dir: str, width: int | None = None
+                       ) -> pd.DataFrame:
+    """Approximate corpus token counts for the eval-slice vocabulary via
+    a Count-Min sketch: (token, est_n, exact_n, overcount).
+
+    Build: one streaming pass emits per-batch partial cells (at most
+    D*W rows per task), one bounded groupby((j, pos)) folds them into
+    the 4x8192 counter table — the whole sketch is ~256 KB regardless
+    of corpus size, where the exact per-token groupby ships one row per
+    token TYPE (unbounded at web scale).  Probe: the eval slice's
+    distinct tokens (same slice as the decontamination suite) are
+    estimated as ``min_j counters[j][pos_j]``; the exact recount rides
+    the same pass for the guarantee columns (est_n >= exact_n always,
+    equality when no row is collision-free... i.e. equality whenever
+    some row of the token has no colliding type)."""
+    if width is None:
+        width = CMS_W
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks = [w for x in texts for w in _tokens(x)]
+        if not toks:
+            z = pa.array([], pa.int64())
+            return pa.table({"j": z, "pos": z, "c": z})
+        flat = np.empty(len(toks), dtype=object)
+        flat[:] = toks
+        u, c = np.unique(flat, return_counts=True)
+        pos = _cms_positions(u, width)               # (n_u, D)
+        jj = np.tile(np.arange(CMS_D, dtype=np.int64), len(u))
+        pp = pos.reshape(-1)
+        cc = np.repeat(c.astype(np.int64), CMS_D)
+        # in-batch combiner: fold duplicate (j, pos) cells before the
+        # exchange so a task never emits more than D*W rows
+        key = jj * width + pp
+        uk, inv = np.unique(key, return_inverse=True)
+        folded = np.bincount(inv, weights=cc).astype(np.int64)
+        return pa.table({"j": pa.array(uk // width),
+                         "pos": pa.array(uk % width),
+                         "c": pa.array(folded)})
+
+    counters = (docs.map_batches(cells, batch_format="pyarrow",
+                                 batch_size=1024)
+                .groupby(["j", "pos"])
+                .aggregate(Sum("c", alias_name="n")).to_pandas())
+    table = np.zeros((CMS_D, width), np.int64)
+    if len(counters):
+        table[counters["j"].to_numpy(), counters["pos"].to_numpy()] = \
+            counters["n"].to_numpy()
+
+    def probe_tokens(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        mask = ids % 20 == 0  # decontam.EVAL_MOD slice
+        toks = {w for x, m in zip(t.column("text").to_pylist(), mask)
+                if m for w in _tokens(x)}
+        return pa.table({"w": pa.array(sorted(toks), pa.string())})
+
+    probe = (docs.map_batches(probe_tokens, batch_format="pyarrow",
+                              batch_size=1024)
+             .groupby("w").count().to_pandas())
+    if not len(probe):
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "est_n": pd.Series([], dtype=np.int64),
+                             "exact_n": pd.Series([], dtype=np.int64),
+                             "overcount": pd.Series([], dtype=np.int64)})
+    pv = np.sort(probe["w"].to_numpy().astype(object))
+    ref = broadcast(pv)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cv = ray.get(ref)
+        toks = [w for x in t.column("text").to_pylist() for w in _tokens(x)]
+        if not toks:
+            z = pa.array([], pa.int64())
+            return pa.table({"w": pa.array([], pa.string()), "c": z})
+        flat = np.empty(len(toks), dtype=object)
+        flat[:] = toks
+        ix = np.searchsorted(cv, flat)
+        ix[ix >= len(cv)] = len(cv) - 1
+        hit = cv[ix] == flat
+        cnt = np.bincount(ix[hit], minlength=len(cv))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"w": pa.array(list(cv[nz]), pa.string()),
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    exact = (docs.map_batches(exact_partial, batch_format="pyarrow",
+                              batch_size=1024)
+             .groupby("w").aggregate(Sum("c", alias_name="exact_n"))
+             .to_pandas().set_index("w")["exact_n"])
+    pos = _cms_positions(pv, width)                   # (n_p, D)
+    est = table[np.arange(CMS_D)[None, :], pos].min(axis=1)
+    exact_n = exact.reindex(pv).fillna(0).to_numpy().astype(np.int64)
+    return pd.DataFrame({
+        "token": pv.astype(str),
+        "est_n": est.astype(np.int64),
+        "exact_n": exact_n,
+        "overcount": (est - exact_n).astype(np.int64),
+    }).sort_values("token").reset_index(drop=True)
+
+
+TOKEN_CMS_SQL = r"""
+    WITH tok AS MATERIALIZED (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''),
+    cnt AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    cells AS MATERIALIZED (
+        SELECT u.j,
+               CAST(('0x' || substr(md5(w), 1 + 4*u.j, 4)) AS INTEGER)
+                   % 8192 AS pos,
+               SUM(c) AS n
+        FROM cnt CROSS JOIN unnest([0, 1, 2, 3]) AS u(j)
+        GROUP BY u.j, pos),
+    probe AS MATERIALIZED (
+        SELECT DISTINCT unnest(regexp_split_to_array(trim(text),
+                                                     '\s+')) AS w
+        FROM documents WHERE doc_id % 20 = 0 AND trim(text) <> ''),
+    est AS MATERIALIZED (
+        SELECT p.w AS token, MIN(ce.n) AS est_n
+        FROM probe p
+        CROSS JOIN unnest([0, 1, 2, 3]) AS u(j)
+        JOIN cells ce
+          ON ce.j = u.j
+         AND ce.pos = CAST(('0x' || substr(md5(p.w), 1 + 4*u.j, 4))
+                           AS INTEGER) % 8192
+        GROUP BY p.w)
+    SELECT e.token,
+           CAST(e.est_n AS BIGINT) AS est_n,
+           CAST(c.c AS BIGINT) AS exact_n,
+           CAST(e.est_n - c.c AS BIGINT) AS overcount
+    FROM est e JOIN cnt c ON c.w = e.token
+    ORDER BY e.token
+"""

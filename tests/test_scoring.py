@@ -205,3 +205,60 @@ def test_heavy_hitters_guarantee_under_batch_splits(ray_session, tmp_path):
     sf = _write(tmp_path, texts)
     got = q_token_heavy_hitters(sf, phi=0.1).to_pandas()
     assert set(got.token) == {"spread out"}
+
+
+def _naive_cms(texts, w_mod):
+    """Single-process CMS with the same md5-slice arithmetic."""
+    import hashlib
+    from collections import Counter
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        CMS_D)
+
+    def positions(t):
+        hx = hashlib.md5(t.encode()).hexdigest()
+        return [int(hx[4 * j:4 * j + 4], 16) % w_mod for j in range(CMS_D)]
+
+    counts = Counter(w for t in texts for w in t.split())
+    table = [[0] * w_mod for _ in range(CMS_D)]
+    for tok, c in counts.items():
+        for j, p in enumerate(positions(tok)):
+            table[j][p] += c
+    probe = sorted({w for i, t in enumerate(texts) if i % 20 == 0
+                    for w in t.split()})
+    return {t: (min(table[j][p] for j, p in enumerate(positions(t))),
+                counts[t]) for t in probe}
+
+
+def test_cms_matches_naive_and_guarantee(ray_session, tmp_path):
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        CMS_W, q_token_counts_cms)
+
+    texts = [" ".join(f"w{(i * 7 + k) % 23}" for k in range(12))
+             for i in range(40)]
+    sf = _write(tmp_path, texts)
+    got = q_token_counts_cms(sf).set_index("token")
+    exp = _naive_cms(texts, CMS_W)
+    assert sorted(got.index) == sorted(exp)
+    for t, (est, exact) in exp.items():
+        row = got.loc[t]
+        assert (row.est_n, row.exact_n) == (est, exact), t
+        assert row.overcount == est - exact
+    assert (got.est_n >= got.exact_n).all()
+
+
+def test_cms_overcounts_under_forced_collisions(ray_session, tmp_path):
+    """With W=2 every row collides, so the min-over-rows estimate must
+    OVER-count (never under) — the CMS guarantee under stress (width is
+    threaded as a parameter because the UDFs run in worker processes)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines import scoring
+
+    texts = ["a b c d e f g h", "a a a a", "b c", "z z z"] * 3
+    sf = _write(tmp_path, texts)
+    got = scoring.q_token_counts_cms(sf, width=2).set_index("token")
+    exp = _naive_cms(texts, 2)
+    for t, (est, exact) in exp.items():
+        row = got.loc[t]
+        assert (row.est_n, row.exact_n) == (est, exact), t
+    assert (got.est_n >= got.exact_n).all()
+    assert (got.overcount > 0).any()  # collisions actually happened
