@@ -747,6 +747,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked (full Count-Min restatement: md5-slice counter
         # positions, bounded cell fold, min-over-rows estimate +
         # exact-recount guarantee columns)
+        "doc_weighted_sample": corpus.q_doc_weighted_sample,
+        # SQL-checked (Efraimidis-Spirakis ln(u)/w rank restated in SQL;
+        # libm log both sides)
     }
 
 
@@ -815,7 +818,7 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.decontam import (
         DECONTAM_BLOOM_SQL, DECONTAM_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
-        CAP_PER_LANG_SQL, DOMAIN_MIX_SQL, SAMPLE_K_SQL)
+        CAP_PER_LANG_SQL, DOMAIN_MIX_SQL, SAMPLE_K_SQL, WEIGHTED_SAMPLE_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
         DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL, TOKEN_CMS_SQL,
         VOCAB_TOP_SQL)
@@ -1577,6 +1580,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_decontaminate_bloom": DECONTAM_BLOOM_SQL,
         "doc_domain_mix": DOMAIN_MIX_SQL,
         "doc_sample_k": SAMPLE_K_SQL,
+        "doc_weighted_sample": WEIGHTED_SAMPLE_SQL,
         "doc_cap_per_lang": CAP_PER_LANG_SQL,
         "doc_train_test_split": """
             SELECT doc_id,

@@ -315,3 +315,63 @@ CAP_PER_LANG_SQL = """
           FROM documents)
     WHERE rn <= 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted K-sample (Efraimidis & Spirakis 2006, public paper): each doc
+# gets key = u^(1/w) with u uniform and w its weight; the K largest keys
+# are a weighted sample without replacement.  Deterministic here: u is
+# the md5(doc_id) 60-bit slice (same digest contract as the uniform
+# samplers above), w = n_chars, and the rank statistic is the monotone
+# transform ln(u)/w.  Same no-global-sort shape as q_doc_sample_k:
+# per-batch top-K candidates -> driver merges n_batches x K rows.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 24
+_U_DENOM = float(1 << 60)  # md5 15-hex-digit slice -> u in (0, 1)
+
+
+def q_doc_weighted_sample(sf_dir: str,
+                          k: int = WEIGHTED_SAMPLE_K) -> pa.Table:
+    """Length-weighted inspection sample: (doc_id, n_chars) of the K
+    docs with the largest ``ln(u)/n_chars`` keys.  The key math runs in
+    scalar ``math.log`` BY CONTRACT (libm, the same function DuckDB's
+    ``ln`` calls — numpy's vectorized log may differ in the last ulp,
+    which would flip near-tie rank comparisons against the oracle)."""
+    import math
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w = batch.column("n_chars").to_pylist()
+        key = [math.log(int(hashlib.md5(str(i).encode("utf-8"))
+                            .hexdigest()[:15], 16) / _U_DENOM) / wi
+               for i, wi in zip(ids, w)]
+        df = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                           "n_chars": np.asarray(w, np.int64),
+                           "key": key})
+        return pa.Table.from_pandas(
+            df.sort_values(["key", "doc_id"],
+                           ascending=[False, True]).head(k),
+            preserve_index=False)
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas())
+    top = (cand.sort_values(["key", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(top[["doc_id", "n_chars"]],
+                                preserve_index=False)
+
+
+WEIGHTED_SAMPLE_SQL = r"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 15)) AS BIGINT)
+                  / 1152921504606846976.0) / n_chars AS k
+        FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 24
+"""

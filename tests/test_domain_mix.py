@@ -88,3 +88,32 @@ def test_sample_k_deterministic_and_stable(ray_session, tmp_path):
     assert set(got2.h) == {h for h, _ in sorted(
         ((hashlib.md5(str(i).encode()).hexdigest(), i)
          for i in range(500)))[:20]}
+
+
+def test_weighted_sample_matches_naive_and_favors_weight(ray_session,
+                                                         tmp_path):
+    """Efraimidis-Spirakis rank vs a naive single-process replica, and
+    the weighting property: with weights 1000 vs 1, heavy docs dominate
+    the sample overwhelmingly."""
+    import hashlib
+    import math
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
+        q_doc_weighted_sample)
+
+    n = 400
+    weights = [1000 if i % 4 == 0 else 1 for i in range(n)]
+    df = pd.DataFrame({"doc_id": range(n), "text": "x", "lang": "en",
+                       "source": "s", "n_chars": weights})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+
+    def key(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) / 2.0**60
+        return math.log(u) / w
+
+    exp = sorted(((-key(i, w), i) for i, w in enumerate(weights)))[:24]
+    got = q_doc_weighted_sample(str(tmp_path), k=24).to_pandas()
+    assert got.doc_id.tolist() == [i for _, i in exp]
+    # heavy docs are 25% of the corpus but should dominate the sample
+    assert (got.doc_id % 4 == 0).mean() > 0.8
