@@ -750,6 +750,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": corpus.q_doc_weighted_sample,
         # SQL-checked (Efraimidis-Spirakis ln(u)/w rank restated in SQL;
         # libm log both sides)
+        "bigram_pmi": scoring.q_bigram_pmi,
+        # SQL-checked (PMI rank via the transcendental-free monotone
+        # transform n_xy/(n_x*n_y) — one IEEE division both sides)
     }
 
 
@@ -820,8 +823,8 @@ def _sql_registry() -> dict[str, str]:
     from amazon_textract_transformer_pipeline_ray.pipelines.corpus import (
         CAP_PER_LANG_SQL, DOMAIN_MIX_SQL, SAMPLE_K_SQL, WEIGHTED_SAMPLE_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
-        DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL, TOKEN_CMS_SQL,
-        VOCAB_TOP_SQL)
+        BIGRAM_PMI_SQL, DSIR_SQL, HEAVY_HITTERS_SQL, LM_SCORE_SQL,
+        TOKEN_CMS_SQL, VOCAB_TOP_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.preprocess import (
         CORPUS_PREPROCESS_SQL)
     from amazon_textract_transformer_pipeline_ray.pipelines.index_build import (
@@ -1555,6 +1558,7 @@ def _sql_registry() -> dict[str, str]:
         "doc_dsir_weights": DSIR_SQL,
         "token_heavy_hitters": HEAVY_HITTERS_SQL,
         "token_counts_cms": TOKEN_CMS_SQL,
+        "bigram_pmi": BIGRAM_PMI_SQL,
         "token_postings": POSTINGS_SQL,
         "doc_tfidf_top_terms": TFIDF_SQL,
         "bm25_scores": BM25_SQL,

@@ -737,3 +737,103 @@ TOKEN_CMS_SQL = r"""
     FROM est e JOIN cnt c ON c.w = e.token
     ORDER BY e.token
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations by PMI lift (Church & Hanks 1990, public paper).
+# PMI = log2(p(xy) / (p(x)p(y))); for a FIXED corpus the rank order is
+# the monotone transform score = n_xy / (n_x * n_y) — a single IEEE
+# division of exact integers, so engine and oracle order and hash
+# bit-identically with no libm transcendentals anywhere (log2 of the
+# same quotient may differ in the last ulp between numpy and DuckDB;
+# the quotient itself cannot).
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 30
+PMI_MIN_COUNT = 5
+
+
+def q_bigram_pmi(sf_dir: str, k: int = PMI_TOP_K,
+                 min_count: int = PMI_MIN_COUNT) -> pd.DataFrame:
+    """Top-k collocations: (bigram, n_xy, n_x, n_y, score) ordered by
+    score = n_xy/(n_x*n_y) desc (PMI order for a fixed corpus), count
+    floor ``min_count``.
+
+    Scale shape: bigram counts fold combiner-first (per-batch uniques ->
+    one groupby(w) whose key space is the bigram TYPE set), the unigram
+    model is the broadcast side (same sublinear-vocab bound as the LM
+    scorer), scoring + local top-k run per aggregated batch, and the
+    driver merges n_batches x k candidate rows — never the full type
+    table."""
+    vocab, counts = _unigram_model(sf_dir)
+    ref = broadcast((vocab, counts))
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        g = _batch_bigrams(t.column("text").to_pylist())
+        if not len(g):
+            return pa.table({"w": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64())})
+        u, c = np.unique(g, return_counts=True)
+        return pa.table({"w": pa.array(list(u), pa.string()),
+                         "p_c": pa.array(c.astype(np.int64))})
+
+    agg = (docs.map_batches(bigram_partial, batch_format="pyarrow",
+                            batch_size=1024)
+           .groupby("w").aggregate(Sum("p_c", alias_name="n_xy")))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        bg = np.asarray(t.column("w").to_pylist(), dtype=object)
+        n_xy = t.column("n_xy").to_numpy().astype(np.int64)
+        keep = n_xy >= min_count
+        bg, n_xy = bg[keep], n_xy[keep]
+        if not len(bg):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64()),
+                             "n_x": pa.array([], pa.int64()),
+                             "n_y": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        parts = [b.split(" ") for b in bg]
+        wx = np.asarray([p[0] for p in parts], dtype=object)
+        wy = np.asarray([p[1] for p in parts], dtype=object)
+        n_x = c[np.searchsorted(v, wx)].astype(np.int64)
+        n_y = c[np.searchsorted(v, wy)].astype(np.int64)
+        score = n_xy.astype(np.float64) / (n_x * n_y)
+        df = pd.DataFrame({"bigram": bg.astype(str), "n_xy": n_xy,
+                           "n_x": n_x, "n_y": n_y, "score": score})
+        return pa.Table.from_pandas(
+            df.sort_values(["score", "bigram"],
+                           ascending=[False, True]).head(k),
+            preserve_index=False)
+
+    cand = agg.map_batches(score_topk, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    return (cand.sort_values(["score", "bigram"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+BIGRAM_PMI_SQL = r"""
+    WITH tok AS MATERIALIZED (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents WHERE trim(text) <> ''),
+    ucnt AS MATERIALIZED (
+        SELECT w, COUNT(*) AS c FROM (SELECT unnest(ts) AS w FROM tok)
+        GROUP BY w),
+    bcnt AS MATERIALIZED (
+        SELECT wx, wy, COUNT(*) AS n_xy FROM (
+            SELECT t.ts[r.i] AS wx, t.ts[r.i+1] AS wy
+            FROM tok t, unnest(range(1, len(t.ts))) AS r(i))
+        GROUP BY wx, wy),
+    scored AS MATERIALIZED (
+        SELECT b.wx || ' ' || b.wy AS bigram,
+               b.n_xy, ux.c AS n_x, uy.c AS n_y,
+               CAST(b.n_xy AS DOUBLE) / (ux.c * uy.c) AS score
+        FROM bcnt b
+        JOIN ucnt ux ON ux.w = b.wx
+        JOIN ucnt uy ON uy.w = b.wy
+        WHERE b.n_xy >= 5)
+    SELECT bigram, CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y, score
+    FROM scored ORDER BY score DESC, bigram LIMIT 30
+"""

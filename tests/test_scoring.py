@@ -262,3 +262,35 @@ def test_cms_overcounts_under_forced_collisions(ray_session, tmp_path):
         assert (row.est_n, row.exact_n) == (est, exact), t
     assert (got.est_n >= got.exact_n).all()
     assert (got.overcount > 0).any()  # collisions actually happened
+
+
+def test_bigram_pmi_matches_naive(ray_session, tmp_path):
+    """PMI top-k vs a naive single-process replica; the rank statistic
+    is n_xy/(n_x*n_y) (PMI order for a fixed corpus) so no libm call
+    can diverge."""
+    from collections import Counter
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.scoring import (
+        q_bigram_pmi)
+
+    texts = [" ".join(["new york"] * 8 + ["big apple"] * 6 + ["the the"])
+             for _ in range(5)] + ["a b c d e f g h"] * 3
+    sf = _write(tmp_path, texts)
+    uni = Counter(w for t in texts for w in t.split())
+    bi = Counter()
+    for t in texts:
+        ws = t.split()
+        bi.update(" ".join(p) for p in zip(ws, ws[1:]))
+    rows = [(g, n, uni[g.split(" ")[0]], uni[g.split(" ")[1]],
+             n / (uni[g.split(" ")[0]] * uni[g.split(" ")[1]]))
+            for g, n in bi.items() if n >= 3]
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    got = q_bigram_pmi(sf, k=10, min_count=3)
+    assert [tuple(r) for r in
+            got[["bigram", "n_xy", "n_x", "n_y", "score"]].itertuples(
+                index=False)] == rows[:10]
+    # collocation property: the exclusive pair "a b" (every occurrence
+    # of either token is in this bigram) outranks high-frequency pairs
+    # of promiscuous tokens
+    assert got.iloc[0].bigram == "a b"
+    assert got.iloc[0].score > got[got.bigram == "big apple"].score.iloc[0]
