@@ -42,8 +42,12 @@ def _transcripts(sf_dir: str) -> list[str]:
     sf = _sf_of(sf_dir)
     n_turns = max(2000, int(1_000_000 * sf))
     # Shard count sized so the read stage exposes parallelism well above
-    # the largest bench CPU count (8 shards starve a 32-CPU read wave).
-    n_shards = 8 if n_turns <= 20_000 else 64
+    # the largest bench CPU count AND at least matches the block-count
+    # floor bench._init_ray requests (max(64, 8*CPUs) = 256 at 32 CPUs):
+    # fewer input files than requested blocks makes Ray insert
+    # SplitBlocks, which breaks read->map->write fusion (~2x the
+    # extraction wall — measured when this corpus was 64 shards).
+    n_shards = 8 if n_turns <= 20_000 else 256
     out = os.path.join(_TRANSCRIPT_CACHE, f"sf{sf:g}-n{n_turns}-s{n_shards}")
     return write_transcripts(out, n_turns, n_shards=n_shards)
 

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "token_postings",
     "doc_chunks",
     "vocab_bpe_merges",
+    "doc_decontaminate_bloom",
+    "token_counts_cms",
+    "bigram_pmi",
 ]
 
 
