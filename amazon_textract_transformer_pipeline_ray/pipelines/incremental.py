@@ -36,7 +36,10 @@ directory — a compaction deletes absorbed run files only after its own
 commit record lands, so every deletion the probe can observe is covered
 by a committed compact file (crash orphans, which have no commit
 record, stay ignored).  Crash-rerun (same run_id, sequential) needs no
-lock.
+lock.  The contract is ENFORCED advisorily since round 4: mutating
+calls hold an ``flock`` on ``state_dir/.writer.lock`` and a second
+concurrent writer raises immediately (``_writer_lock``; best-effort on
+filesystems without flock semantics).
 
 Dataflow per run: hash pass (streaming ``map_batches``) -> ONE
 bucket-keyed ``groupby`` -> per-bucket ``map_groups`` doing in-run
@@ -50,6 +53,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -89,6 +93,35 @@ def _atomic_write_table(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+@contextmanager
+def _writer_lock(state_dir: str):
+    """Advisory enforcement of the module's SINGLE-WRITER contract: an
+    ``flock`` on ``state_dir/.writer.lock`` held for the duration of a
+    mutating call (the driver blocks on the distributed job, so the
+    whole ingest/compact is covered).  Non-blocking — contention RAISES
+    instead of queueing, because the second writer's committed-runs
+    snapshot is already stale by definition.  Best-effort: flock is
+    reliable on local filesystems; on a shared FS without flock
+    semantics the documented contract (one ingestion scheduler owns the
+    state dir) remains the guarantee."""
+    import fcntl
+
+    os.makedirs(state_dir, exist_ok=True)
+    fd = os.open(os.path.join(state_dir, ".writer.lock"),
+                 os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as e:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already has an active writer; "
+                "ingest_run/compact_state are single-writer (see "
+                "incremental.py module docstring)") from e
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
 def ingest_run(docs: rd.Dataset, state_dir: str, run_id: str,
                n_buckets: int = N_BUCKETS) -> pa.Table:
     """Dedup ``docs`` (columns doc_id, text) against all COMMITTED state
@@ -100,6 +133,12 @@ def ingest_run(docs: rd.Dataset, state_dir: str, run_id: str,
     corpus read)."""
     if os.path.exists(_commit_path(state_dir, run_id)):
         return pq.read_table(_survivor_path(state_dir, run_id))
+    with _writer_lock(state_dir):
+        return _ingest_run_locked(docs, state_dir, run_id, n_buckets)
+
+
+def _ingest_run_locked(docs: rd.Dataset, state_dir: str, run_id: str,
+                       n_buckets: int) -> pa.Table:
     committed = _committed_runs(state_dir)
 
     def hash_batch(t: pa.Table) -> pa.Table:
@@ -190,6 +229,11 @@ def compact_state(state_dir: str, n_buckets: int = N_BUCKETS) -> dict:
 
     Distributed: one Ray task per bucket via ``map_batches`` over the
     bucket ids; the driver only renames/stamps tiny JSON records."""
+    with _writer_lock(state_dir):
+        return _compact_state_locked(state_dir, n_buckets)
+
+
+def _compact_state_locked(state_dir: str, n_buckets: int) -> dict:
     committed = _committed_runs(state_dir)
     gen = 1 + sum(1 for r in committed if r.startswith("compact"))
     new_run = f"compact{gen:04d}"

@@ -197,3 +197,49 @@ def test_concurrent_compaction_race_covered_by_committed_compact(
     r2 = inc.ingest_run(_docs_ds([(9, "a"), (10, "c")]), state, "r2")
     # "a" was seen by r1 (now only inside compact0001) -> NOT re-admitted
     assert r2.to_pydict()["doc_id"] == [10]
+
+
+def test_writer_lock_rejects_second_writer(ray_session, tmp_path):
+    """The single-writer contract is now enforced: while one process
+    holds the state lock, a mutating call raises instead of racing."""
+    import fcntl
+
+    import pytest
+
+    import amazon_textract_transformer_pipeline_ray.pipelines.incremental as inc
+
+    state = str(tmp_path / "state")
+    ingest_run(_docs_ds([(1, "a")]), state, "r1")  # creates the dir
+    fd = os.open(os.path.join(state, ".writer.lock"),
+                 os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        with pytest.raises(RuntimeError, match="single-writer"):
+            inc.ingest_run(_docs_ds([(2, "b")]), state, "r2")
+        with pytest.raises(RuntimeError, match="single-writer"):
+            inc.compact_state(state)
+    finally:
+        os.close(fd)
+    # released -> the same calls succeed
+    r2 = inc.ingest_run(_docs_ds([(2, "b")]), state, "r2")
+    assert r2.to_pydict()["doc_id"] == [2]
+    inc.compact_state(state)
+
+
+def test_replay_needs_no_lock(ray_session, tmp_path):
+    """Re-ingesting a committed run_id is read-only and must work even
+    while another writer holds the lock."""
+    import fcntl
+
+    import amazon_textract_transformer_pipeline_ray.pipelines.incremental as inc
+
+    state = str(tmp_path / "state")
+    first = ingest_run(_docs_ds([(1, "a"), (2, "b")]), state, "r1")
+    fd = os.open(os.path.join(state, ".writer.lock"),
+                 os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        replay = inc.ingest_run(_docs_ds([(1, "a")]), state, "r1")
+        assert replay.to_pydict() == first.to_pydict()
+    finally:
+        os.close(fd)
