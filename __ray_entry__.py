@@ -582,7 +582,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_fields": _x_fields,
         "x_training_examples": _x_training_examples,
         "x_spans": _x_spans,
-        # --- round-4 rotation: never-driver-checked queries (46) ---
+        # --- round-5 rotation (VERDICT r4 next-round item 1): the 11
+        # queries with no driver-side CORRECTNESS row in ANY round. All
+        # have oracle_sql() and pass the in-repo replica
+        # (tests/test_queries_oracle_sql.py); seating them here closes
+        # the driver-verification union at 109/109. ---
+        "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
+        "doc_length_percentile": text.q_doc_length_percentile,
+        "doc_lexical_diversity": text.q_doc_lexical_diversity,
+        # SQL-checked (regexp_split/list_distinct restatement)
+        "doc_normalize": text.q_doc_normalize,  # SQL-checked (shared
+        # explicit trim charset + RE2 collapse both sides)
+        "doc_dedup_normalized": text.q_doc_dedup_normalized,  # SQL-checked
+        "doc_stats_rollup": text.q_doc_stats_rollup,  # SQL-checked
+        # (GROUPING SETS oracle)
+        "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
+        "doc_decontaminate_bloom": decontam.q_doc_decontaminate_bloom,
+        # SQL-checked (full Bloom restatement: md5-slice bit positions,
+        # eval bitmap as a DISTINCT-pos set, all-K membership conjunction)
+        "token_counts_cms": scoring.q_token_counts_cms,
+        # SQL-checked (full Count-Min restatement: md5-slice counter
+        # positions, bounded cell fold, min-over-rows estimate +
+        # exact-recount guarantee columns)
+        "doc_weighted_sample": corpus.q_doc_weighted_sample,
+        # SQL-checked (Efraimidis-Spirakis ln(u)/w rank restated in SQL;
+        # libm log both sides)
+        "bigram_pmi": scoring.q_bigram_pmi,
+        # SQL-checked (PMI rank via the transcendental-free monotone
+        # transform n_xy/(n_x*n_y) — one IEEE division both sides)
+        # --- round-4 rotation survivors (driver-green r4) ---
         # text/scoring/index suite
         "source_jaccard": setops.q_source_jaccard,  # SQL-checked
         # (DISTINCT-unnest self-join restatement; engine side is one
@@ -633,6 +661,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": _w_embedding_semdedup,  # SQL-checked (fixture)
         "embedding_cluster_stats": _w_embedding_cluster_stats,  # SQL-checked
         # (fixture: loop-style per-pair np.dot recompute over the spec)
+        # ==================== 50-entry driver boundary ====================
+        # Everything below has a driver-green CORRECTNESS row from r3 or
+        # r4; all remain value-checked every run by
+        # tests/test_queries_oracle_sql.py.
+        # --- displaced by the round-5 rotation (driver-green r4) ---
         "bpe_piece_counts": _w_bpe_piece_counts,  # SQL-checked
         # (fixture: unmemoized single-process recount)
         "doc_bpe_encode": _w_doc_bpe_encode,  # SQL-checked (fixture:
@@ -659,15 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # files -> custom Datasource merge -> parser; oracle reads the
         # RAW unmerged chunks with DuckDB read_json
         "api_paged_blocks": _w_api_paged_blocks,  # SQL-checked
-        # round-4 addition (verdict item 8): the review-loop round trip's
-        # merged output table — new, so it takes a front-50 seat
-        # (media_y4m_roundtrip deferred below; its PNG/WAV/frame/bundle
-        # siblings keep the codec suite in the sample)
-        "x_post_review": _x_post_review,  # SQL-checked
-        # ==================== 50-entry driver boundary ====================
-        # Everything below was driver-checked green in CORRECTNESS_r03.json
-        # (or is one of 8 deferred text-analysis queries noted below); all
-        # remain value-checked every run by tests/test_queries_oracle_sql.py.
+        "x_post_review": _x_post_review,  # SQL-checked (r4 driver-green)
         # --- extraction (remaining x_*; driver-green r3) ---
         "x_conversations": _x_conversations,
         "x_turns_staged": _x_turns_staged,
@@ -726,37 +751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (independent-oracle fixture)
         "doc_dedup_exact": text.q_doc_dedup_exact,
         "doc_quality": text.q_doc_quality,
-        # --- deferred text-analysis queries (8): never driver-checked but
-        # closest in shape to r3-green siblings (doc_quality,
-        # doc_stats_by_lang); they lost the front-50 seats to the dedup /
-        # similarity / BPE / media suite. Local replica still checks them. ---
         "doc_length_quantiles": text.q_doc_length_quantiles,
-        "doc_length_quantiles_by_lang": text.q_doc_length_quantiles_by_lang,
-        "doc_length_percentile": text.q_doc_length_percentile,
-        "doc_lexical_diversity": text.q_doc_lexical_diversity,
-        # SQL-checked (regexp_split/list_distinct restatement)
-        "doc_normalize": text.q_doc_normalize,  # SQL-checked (shared
-        # explicit trim charset + RE2 collapse both sides)
-        "doc_dedup_normalized": text.q_doc_dedup_normalized,  # SQL-checked
-        "doc_stats_rollup": text.q_doc_stats_rollup,  # SQL-checked
-        # (GROUPING SETS oracle)
         "doc_langid": text.q_doc_langid,  # SQL-checked (trigram counts in SQL)
-        "media_y4m_roundtrip": _w_media_y4m_roundtrip,  # SQL-checked
-        # (deferred from the front-50 to seat x_post_review; its five
-        # codec siblings remain in the driver sample)
-        "doc_decontaminate_bloom": decontam.q_doc_decontaminate_bloom,
-        # SQL-checked (full Bloom restatement: md5-slice bit positions,
-        # eval bitmap as a DISTINCT-pos set, all-K membership conjunction)
-        "token_counts_cms": scoring.q_token_counts_cms,
-        # SQL-checked (full Count-Min restatement: md5-slice counter
-        # positions, bounded cell fold, min-over-rows estimate +
-        # exact-recount guarantee columns)
-        "doc_weighted_sample": corpus.q_doc_weighted_sample,
-        # SQL-checked (Efraimidis-Spirakis ln(u)/w rank restated in SQL;
-        # libm log both sides)
-        "bigram_pmi": scoring.q_bigram_pmi,
-        # SQL-checked (PMI rank via the transcendental-free monotone
-        # transform n_xy/(n_x*n_y) — one IEEE division both sides)
     }
 
 

@@ -291,7 +291,13 @@ def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
 
 
 def q_events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
-    """Top-k users by total event value (small aggregate -> driver top-k)."""
+    """Top-k users by total event value.
+
+    Distributed top-k: the per-user groupby output is #distinct-users
+    rows (hundreds of millions at web scale), so it is NEVER pulled to
+    the driver.  Each output block keeps only its own top-k candidates
+    (map_batches partial), and the driver merges ``n_blocks x k`` rows
+    — the q_doc_sample_k / kNN partial-top-k-merge shape."""
     ds = read_table(sf_dir, "events", ["user_id", "value"])
 
     def cents(batch: pa.Table) -> pa.Table:
@@ -302,8 +308,16 @@ def q_events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
                 .groupby("user_id").aggregate(
                     Sum("cents", alias_name="cents"),
                     Count(alias_name="n_events")))
-    top = (per_user.to_pandas()
-           .sort_values(["cents", "user_id"], ascending=[False, True])
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = df.sort_values(["cents", "user_id"],
+                              ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    cand = (per_user.map_batches(partial_top, batch_format="pyarrow")
+            .to_pandas())
+    top = (cand.sort_values(["cents", "user_id"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     top["total_value"] = top["cents"].to_numpy().astype(np.float64) / 100.0
     return top[["user_id", "total_value", "n_events"]]
