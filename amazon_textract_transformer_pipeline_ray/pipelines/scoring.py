@@ -30,6 +30,8 @@ column is f32 (``REAL`` in the oracle) per the repo convention.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -77,9 +79,31 @@ def _finish(doc_id: pa.Array, n_tokens: np.ndarray,
     })
 
 
+# Driver budget for the vocab-sized reductions (the unigram-LM fit and
+# q_vocab_top's rank).  Vocabularies are sublinear in corpus size but a
+# web-scale corpus still reaches billions of types; pulling that to one
+# process must fail LOUDLY with a pointer to the fixed-size sketch twins
+# (q_token_counts_cms for frequencies, DSIR's hashed fixed-bucket model
+# for scoring), not OOM the driver.  5e7 rows ~= a few GB of (token,
+# count) pairs — the same spirit as the jaccard anchor's cells budget.
+VOCAB_DRIVER_BUDGET_ROWS = int(
+    os.environ.get("GRAFT_VOCAB_DRIVER_BUDGET", 5 * 10**7))
+
+# Misra-Gries candidate-union budget for q_token_heavy_hitters: the
+# per-batch MG retention bound keeps <= 1/phi survivors PER BATCH, so
+# the candidate union grows O(n_batches/phi) — fine at sandbox scale,
+# unbounded in batch count.  Past this the query must point at the
+# constant-space frequency sketch (q_token_counts_cms).
+HH_CANDIDATE_BUDGET_ROWS = int(
+    os.environ.get("GRAFT_HH_CANDIDATE_BUDGET", 2 * 10**7))
+
+
 def _unigram_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(sorted vocab array, counts): distributed per-batch partial
-    counts -> one token groupby -> vocab-sized arrays on the driver."""
+    counts -> one token groupby -> vocab-sized arrays on the driver.
+
+    Guarded: raises past ``VOCAB_DRIVER_BUDGET_ROWS`` instead of
+    materializing an unbounded vocabulary on one process."""
     ds = read_table(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -92,9 +116,21 @@ def _unigram_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
     agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
            .groupby("w").aggregate(Sum("p_c", alias_name="c")))
-    ws, cs = [], []
+    ws, cs, n_rows = [], [], 0
     for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
         if "w" in b.column_names and len(b):
+            n_rows += len(b)
+            if n_rows > VOCAB_DRIVER_BUDGET_ROWS:
+                raise ValueError(
+                    f"unigram-LM fit: vocabulary exceeds the driver "
+                    f"budget ({n_rows:,}+ types > "
+                    f"{VOCAB_DRIVER_BUDGET_ROWS:,}). The vocab-sized "
+                    "driver reduction is the documented small-side anchor "
+                    "(q_vocab_top / q_doc_lm_score broadcast plan); at "
+                    "this scale use the constant-space twins — "
+                    "q_token_counts_cms for frequencies, "
+                    "q_doc_lm_score_shuffled / q_doc_dsir_weights "
+                    "(hashed fixed-bucket model) for scoring.")
             ws.append(np.asarray(b.column("w").to_pylist(), dtype=object))
             cs.append(b.column("c").to_numpy())
     if not ws:
@@ -510,11 +546,26 @@ def q_token_heavy_hitters(sf_dir: str,
         keep = c > (len(g) / k)  # the MG retention bound
         return pa.table({"w": pa.array(list(u[keep]), pa.string())})
 
-    cand_rows = (ds.map_batches(candidates, batch_format="pyarrow",
-                                batch_size=1024)
-                 .groupby("w").count().to_pandas())
-    cand = np.sort(cand_rows["w"].to_numpy().astype(object)) \
-        if len(cand_rows) else np.empty(0, dtype=object)
+    cand_ds = (ds.map_batches(candidates, batch_format="pyarrow",
+                              batch_size=1024)
+               .groupby("w").count())
+    cand_parts, n_cand = [], 0
+    for b in cand_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if "w" in b.column_names and len(b):
+            n_cand += len(b)
+            if n_cand > HH_CANDIDATE_BUDGET_ROWS:
+                raise ValueError(
+                    f"q_token_heavy_hitters: Misra-Gries candidate union "
+                    f"exceeds the driver budget ({n_cand:,}+ candidates > "
+                    f"{HH_CANDIDATE_BUDGET_ROWS:,}). The per-batch MG "
+                    "bound keeps <= 1/phi survivors per batch, so the "
+                    "union grows with batch count; at this scale use the "
+                    "constant-space frequency sketch q_token_counts_cms "
+                    "(D x W counters at any corpus size).")
+            cand_parts.append(
+                np.asarray(b.column("w").to_pylist(), dtype=object))
+    cand = (np.sort(np.concatenate(cand_parts))
+            if cand_parts else np.empty(0, dtype=object))
     ref = broadcast(cand)
 
     def recount(t: pa.Table) -> pa.Table:

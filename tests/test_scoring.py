@@ -294,3 +294,33 @@ def test_bigram_pmi_matches_naive(ray_session, tmp_path):
     # of promiscuous tokens
     assert got.iloc[0].bigram == "a b"
     assert got.iloc[0].score > got[got.bigram == "big apple"].score.iloc[0]
+
+
+def test_vocab_driver_budget_raises_loudly(ray_session, tmp_path,
+                                           monkeypatch):
+    """The vocab-sized driver reduction (unigram fit / q_vocab_top rank)
+    must fail past its budget with a pointer to the constant-space
+    sketch twins, not OOM the driver.  (Driver-side guard, so
+    monkeypatching the module global is effective.)"""
+    import pytest
+
+    from amazon_textract_transformer_pipeline_ray.pipelines import scoring
+
+    sf = _write(tmp_path, ["a b c d e", "f g h i j"])
+    monkeypatch.setattr(scoring, "VOCAB_DRIVER_BUDGET_ROWS", 4)
+    with pytest.raises(ValueError, match="q_token_counts_cms"):
+        scoring.q_vocab_top(sf)
+
+
+def test_heavy_hitter_candidate_budget_raises_loudly(ray_session, tmp_path,
+                                                     monkeypatch):
+    """The Misra-Gries candidate union is O(n_batches/phi) — past its
+    budget the query must point at the CMS twin."""
+    import pytest
+
+    from amazon_textract_transformer_pipeline_ray.pipelines import scoring
+
+    sf = _write(tmp_path, ["a a a b", "c c c d"])
+    monkeypatch.setattr(scoring, "HH_CANDIDATE_BUDGET_ROWS", 1)
+    with pytest.raises(ValueError, match="q_token_counts_cms"):
+        scoring.q_token_heavy_hitters(sf)
