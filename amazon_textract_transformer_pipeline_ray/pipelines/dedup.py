@@ -360,38 +360,12 @@ class MinHasher:
         })
 
 
-def q_minhash_lsh_pairs(sf_dir: str,
-                        threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
-    """Near-dup pairs via MinHash banding, verified by exact Jaccard.
-
-    Candidate generation AND verification run in ONE distributed stage.
-    The shuffle key is a coarse hash SHARD of (band, hash) — see
-    ``LSH_ROWS_PER_SHARD`` — and each shard task segments its rows into exact
-    buckets locally.  Inside a bucket, a pair is emitted only when this
-    band is the pair's FIRST colliding band (vectorized over the
-    bucket's band-hash matrix), so the global candidate set is exactly
-    the distinct colliding pairs; each surviving pair is then
-    exact-Jaccard verified in-bucket against a bucket-LOCAL incidence
-    matrix built from the token-id sets the band rows carry — exact
-    integer intersections, f64 division, identical to the SQL oracle's
-    arithmetic.  No broadcast corpus state, no driver materialization:
-    one shuffle total, with token sets shipped L times through it.
-    Probabilistic recall (P[miss] = (1 - t^8)^8 per pair at Jaccard t;
-    ~1% at t=0.9, vanishing above) — rows-only driver check; recall vs
-    the exact variant is asserted in tests."""
-    from ..sources.scale import shuffle_width, table_num_rows
-
-    n_shards = shuffle_width(
-        n_rows=table_num_rows(sf_dir, "documents") * LSH_BANDS,
-        rows_per_shard=LSH_ROWS_PER_SHARD)
-    # Instance (plain callable) -> task-based stage: the UDF is
-    # stateless, so tasks beat an actor pool twice — no per-query pool
-    # spin-up, and parallelism scales with the cluster instead of a
-    # fixed actor cap:
-    bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
-             .map_batches(MinHasher(n_shards=n_shards),
-                          batch_format="pyarrow", batch_size=4096))
-
+def _make_shard_pairs(threshold: float):
+    """map_groups callable for ONE band-shard: segment exact
+    (band, hash) buckets, emit each pair from its first colliding
+    band, exact-Jaccard verify in-bucket.  Shared by
+    ``q_minhash_lsh_pairs`` and the checkpointed runner
+    (``dedup_checkpointed.run_lsh_pairs_checkpointed``)."""
     def bucket_pairs(band: int, ids: np.ndarray, bh: np.ndarray,
                      sets: list[np.ndarray]) -> pd.DataFrame | None:
         """Pairs for ONE exact (band, hash) bucket (deduped doc rows)."""
@@ -469,8 +443,44 @@ def q_minhash_lsh_pairs(sf_dir: str,
             return empty
         return pd.concat(frames, ignore_index=True)
 
+    return shard_pairs
+
+
+def q_minhash_lsh_pairs(sf_dir: str,
+                        threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+    """Near-dup pairs via MinHash banding, verified by exact Jaccard.
+
+    Candidate generation AND verification run in ONE distributed stage.
+    The shuffle key is a coarse hash SHARD of (band, hash) — see
+    ``LSH_ROWS_PER_SHARD`` — and each shard task segments its rows into exact
+    buckets locally.  Inside a bucket, a pair is emitted only when this
+    band is the pair's FIRST colliding band (vectorized over the
+    bucket's band-hash matrix), so the global candidate set is exactly
+    the distinct colliding pairs; each surviving pair is then
+    exact-Jaccard verified in-bucket against a bucket-LOCAL incidence
+    matrix built from the token-id sets the band rows carry — exact
+    integer intersections, f64 division, identical to the SQL oracle's
+    arithmetic.  No broadcast corpus state, no driver materialization:
+    one shuffle total, with token sets shipped L times through it.
+    Probabilistic recall (P[miss] = (1 - t^8)^8 per pair at Jaccard t;
+    ~1% at t=0.9, vanishing above) — rows-only driver check; recall vs
+    the exact variant is asserted in tests."""
+    from ..sources.scale import shuffle_width, table_num_rows
+
+    n_shards = shuffle_width(
+        n_rows=table_num_rows(sf_dir, "documents") * LSH_BANDS,
+        rows_per_shard=LSH_ROWS_PER_SHARD)
+    # Instance (plain callable) -> task-based stage: the UDF is
+    # stateless, so tasks beat an actor pool twice — no per-query pool
+    # spin-up, and parallelism scales with the cluster instead of a
+    # fixed actor cap:
+    bands = (read_table(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(MinHasher(n_shards=n_shards),
+                          batch_format="pyarrow", batch_size=4096))
+
     verified = (bands.groupby("shard")
-                .map_groups(shard_pairs, batch_format="pandas")
+                .map_groups(_make_shard_pairs(threshold),
+                            batch_format="pandas")
                 .to_pandas())
     if len(verified) == 0:
         return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
@@ -928,29 +938,15 @@ def _batch_gram_pos_rows(
     return gs[new], ds[new], offsets, ps
 
 
-def q_doc_dedup_ngram_corpus(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
-    """Substring-level dedup REMOVAL pass (the rewrite step of Lee et
-    al.): every token covered by a cross-document duplicated 8-gram
-    occurrence is dropped, and each document is re-emitted as its cleaned
-    token sequence.  Output per document (all documents, including
-    untouched ones): (doc_id, n_tokens, n_removed, cleaned_md5) where
-    ``cleaned_md5`` digests the space-joined surviving tokens.
-
-    Scale shape: the gram pass ships distinct (gram, doc, positions[])
-    rows through ONE coarse gram-shard shuffle; shard tasks keep grams in
-    >= ``min_docs`` distinct docs and emit (doc, positions[]) rows; a
-    doc-keyed groupby folds them into one covered-interval list per doc;
-    and a LEFT OUTER hash join brings the (sparse) removal lists to the
-    documents table, where the rewrite is a per-doc vectorized interval
-    union (diff-array cumsum, no per-token Python loop).  Docs without
-    duplicated grams take the join's null branch and pass through
-    untouched."""
-    from ..sources.scale import join_width, shuffle_width, table_num_rows
-
-    n_rows = table_num_rows(sf_dir, "documents")
-    n_shards = shuffle_width(n_rows=n_rows,
-                             rows_per_shard=LSH_ROWS_PER_SHARD)
-
+def _ngram_removals(sf_dir: str, min_docs: int,
+                    n_shards: int) -> rd.Dataset:
+    """The global gram exchange of the substring-dedup removal pass:
+    distinct (gram, doc, positions[]) rows through one coarse
+    gram-shard shuffle, shard tasks keep grams in >= ``min_docs``
+    docs, then a doc-keyed fold to one covered-position blob per doc
+    (int64-LE bytes — Acero rejects list payloads in hash joins).
+    Shared by ``q_doc_dedup_ngram_corpus`` and the checkpointed
+    runner."""
     def gram_rows(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         ids = t.column("doc_id").to_numpy().astype(np.int64)
@@ -995,7 +991,7 @@ def q_doc_dedup_ngram_corpus(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
             "positions_blob": pa.array(out_pos, pa.binary()),
         })
 
-    removals = (read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (read_table(sf_dir, "documents", ["doc_id", "text"])
                 .map_batches(gram_rows, batch_format="pyarrow",
                              batch_size=4096)
                 .groupby("shard").map_groups(dup_positions,
@@ -1003,46 +999,78 @@ def q_doc_dedup_ngram_corpus(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
                 .groupby("gdoc_id").map_groups(fold_doc,
                                                batch_format="pandas"))
 
+
+def _ngram_rewrite(t: pa.Table) -> pa.Table:
+    """Per-doc vectorized interval-union rewrite of the
+    substring-dedup join output (docs without removal blobs
+    pass through untouched)."""
+    import hashlib
+
+    if "doc_id" not in t.column_names:  # empty-schema join partition
+        z = pa.array([], pa.int64())
+        return pa.table({"doc_id": z, "n_tokens": z, "n_removed": z,
+                         "cleaned_md5": pa.array([], pa.string())})
+    texts = t.column("text").to_pylist()
+    plists = [np.frombuffer(b, np.int64) if b is not None else None
+              for b in t.column("positions_blob").to_pylist()]
+    n_tok = np.zeros(len(texts), np.int64)
+    n_rem = np.zeros(len(texts), np.int64)
+    digests = []
+    for i, (text, plist) in enumerate(zip(texts, plists)):
+        toks = _tokens(text)
+        n_tok[i] = len(toks)
+        if plist is not None and len(plist):
+            # interval union via diff-array cumsum
+            diff = np.zeros(len(toks) + NGRAM_N + 1, np.int64)
+            p = plist
+            np.add.at(diff, p, 1)
+            np.add.at(diff, p + NGRAM_N, -1)
+            covered = np.cumsum(diff[:len(toks)]) > 0
+            n_rem[i] = int(covered.sum())
+            kept = [w for w, c in zip(toks, covered) if not c]
+        else:
+            kept = toks
+        digests.append(hashlib.md5(
+            " ".join(kept).encode("utf-8")).hexdigest())
+    return pa.table({
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+        "n_tokens": pa.array(n_tok),
+        "n_removed": pa.array(n_rem),
+        "cleaned_md5": pa.array(digests, pa.string()),
+    })
+
+
+
+def q_doc_dedup_ngram_corpus(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
+    """Substring-level dedup REMOVAL pass (the rewrite step of Lee et
+    al.): every token covered by a cross-document duplicated 8-gram
+    occurrence is dropped, and each document is re-emitted as its cleaned
+    token sequence.  Output per document (all documents, including
+    untouched ones): (doc_id, n_tokens, n_removed, cleaned_md5) where
+    ``cleaned_md5`` digests the space-joined surviving tokens.
+
+    Scale shape: the gram pass ships distinct (gram, doc, positions[])
+    rows through ONE coarse gram-shard shuffle; shard tasks keep grams in
+    >= ``min_docs`` distinct docs and emit (doc, positions[]) rows; a
+    doc-keyed groupby folds them into one covered-interval list per doc;
+    and a LEFT OUTER hash join brings the (sparse) removal lists to the
+    documents table, where the rewrite is a per-doc vectorized interval
+    union (diff-array cumsum, no per-token Python loop).  Docs without
+    duplicated grams take the join's null branch and pass through
+    untouched."""
+    from ..sources.scale import join_width, shuffle_width, table_num_rows
+
+    n_rows = table_num_rows(sf_dir, "documents")
+    n_shards = shuffle_width(n_rows=n_rows,
+                             rows_per_shard=LSH_ROWS_PER_SHARD)
+
+
+    removals = _ngram_removals(sf_dir, min_docs, n_shards)
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     joined = docs.join(removals, join_type="left_outer",
                        num_partitions=join_width(n_rows),
                        on=("doc_id",), right_on=("gdoc_id",))
 
-    def rewrite(t: pa.Table) -> pa.Table:
-        import hashlib
 
-        if "doc_id" not in t.column_names:  # empty-schema join partition
-            z = pa.array([], pa.int64())
-            return pa.table({"doc_id": z, "n_tokens": z, "n_removed": z,
-                             "cleaned_md5": pa.array([], pa.string())})
-        texts = t.column("text").to_pylist()
-        plists = [np.frombuffer(b, np.int64) if b is not None else None
-                  for b in t.column("positions_blob").to_pylist()]
-        n_tok = np.zeros(len(texts), np.int64)
-        n_rem = np.zeros(len(texts), np.int64)
-        digests = []
-        for i, (text, plist) in enumerate(zip(texts, plists)):
-            toks = _tokens(text)
-            n_tok[i] = len(toks)
-            if plist is not None and len(plist):
-                # interval union via diff-array cumsum
-                diff = np.zeros(len(toks) + NGRAM_N + 1, np.int64)
-                p = plist
-                np.add.at(diff, p, 1)
-                np.add.at(diff, p + NGRAM_N, -1)
-                covered = np.cumsum(diff[:len(toks)]) > 0
-                n_rem[i] = int(covered.sum())
-                kept = [w for w, c in zip(toks, covered) if not c]
-            else:
-                kept = toks
-            digests.append(hashlib.md5(
-                " ".join(kept).encode("utf-8")).hexdigest())
-        return pa.table({
-            "doc_id": t.column("doc_id").cast(pa.int64()),
-            "n_tokens": pa.array(n_tok),
-            "n_removed": pa.array(n_rem),
-            "cleaned_md5": pa.array(digests, pa.string()),
-        })
-
-    return joined.map_batches(rewrite, batch_format="pyarrow",
+    return joined.map_batches(_ngram_rewrite, batch_format="pyarrow",
                               batch_size=4096)

@@ -99,3 +99,114 @@ def test_bpe_checkpointed_extension_and_replay(ray_session, tmp_path):
     # asking for a shorter horizon replays the committed prefix:
     t12 = tok.train_bpe_checkpointed(SF, st, n_merges=12)
     assert t12.equals(ref.slice(0, 12))
+
+
+@pytest.fixture(scope="module")
+def lsh_run(ray_session, tmp_path_factory):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup, dedup_checkpointed as dc)
+
+    out = str(tmp_path_factory.mktemp("ckpt") / "lsh")
+    summary = dc.run_lsh_pairs_checkpointed(SF, out, num_partitions=8)
+    ref = (dedup.q_minhash_lsh_pairs(SF)
+           .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+    return out, summary, ref
+
+
+def _lsh_got(out):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup_checkpointed as dc)
+
+    return (dc.read_lsh_pairs(out).to_pandas()
+            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+
+
+def test_lsh_checkpointed_matches_query(ray_session, lsh_run):
+    out, summary, ref = lsh_run
+    assert summary["recomputed_partitions"] == 8
+    pd.testing.assert_frame_equal(_lsh_got(out), ref)
+
+
+def test_lsh_resume_noop_then_crash_resume(ray_session, lsh_run):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup_checkpointed as dc)
+
+    out, _, ref = lsh_run
+    s2 = dc.run_lsh_pairs_checkpointed(SF, out, num_partitions=8)
+    assert s2["recomputed_partitions"] == 0
+    shutil.rmtree(os.path.join(out, "pairs", "partition_id=3"),
+                  ignore_errors=True)
+    os.unlink(os.path.join(out, "_manifests", "pairs-00003.json"))
+    s3 = dc.run_lsh_pairs_checkpointed(SF, out, num_partitions=8)
+    assert s3["recomputed_partitions"] == 1
+    pd.testing.assert_frame_equal(_lsh_got(out), ref)
+
+
+def test_lsh_lineage_change_recomputes_all(ray_session, lsh_run,
+                                           monkeypatch):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup_checkpointed as dc)
+
+    out, _, ref = lsh_run
+    monkeypatch.setattr(dc, "LSH_PAIRS_SPEC_VERSION", "v-test-bump")
+    s = dc.run_lsh_pairs_checkpointed(SF, out, num_partitions=8)
+    assert s["recomputed_partitions"] == 8  # old records lineage-rejected
+    pd.testing.assert_frame_equal(_lsh_got(out), ref)
+
+
+@pytest.fixture(scope="module")
+def ngram_run(ray_session, tmp_path_factory):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup, dedup_checkpointed as dc)
+
+    out = str(tmp_path_factory.mktemp("ckpt") / "ngram")
+    summary = dc.run_ngram_dedup_checkpointed(SF, out, num_partitions=8)
+    ref = (dedup.q_doc_dedup_ngram_corpus(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return out, summary, ref
+
+
+def _ngram_got(out):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup_checkpointed as dc)
+
+    return (dc.read_ngram_dedup(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_ngram_checkpointed_matches_query(ray_session, ngram_run):
+    out, summary, ref = ngram_run
+    assert summary["recomputed_partitions"] == 8
+    assert summary["removals_recomputed"]
+    pd.testing.assert_frame_equal(_ngram_got(out), ref)
+
+
+def test_ngram_resume_noop_then_crash_resume(ray_session, ngram_run):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup_checkpointed as dc)
+
+    out, _, ref = ngram_run
+    s2 = dc.run_ngram_dedup_checkpointed(SF, out, num_partitions=8)
+    assert s2 == {"partitions": 8, "n_docs": len(ref),
+                  "recomputed_partitions": 0, "removals_recomputed": False}
+    shutil.rmtree(os.path.join(out, "cleaned", "partition_id=5"))
+    os.unlink(os.path.join(out, "_manifests", "cleaned-00005.json"))
+    s3 = dc.run_ngram_dedup_checkpointed(SF, out, num_partitions=8)
+    assert s3["recomputed_partitions"] == 1
+    assert not s3["removals_recomputed"]  # stage A trusted, not re-run
+    pd.testing.assert_frame_equal(_ngram_got(out), ref)
+
+
+def test_ngram_removals_loss_invalidates_stage_b(ray_session, ngram_run):
+    """Losing the stage-A commit record forces the gram exchange AND all
+    rewrite partitions to re-run (they were computed against a removals
+    table that can no longer be trusted)."""
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        dedup_checkpointed as dc)
+
+    out, _, ref = ngram_run
+    os.unlink(os.path.join(out, "_manifests", "removals.json"))
+    s = dc.run_ngram_dedup_checkpointed(SF, out, num_partitions=8)
+    assert s["removals_recomputed"]
+    assert s["recomputed_partitions"] == 8
+    pd.testing.assert_frame_equal(_ngram_got(out), ref)
