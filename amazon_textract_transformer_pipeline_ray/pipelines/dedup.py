@@ -201,17 +201,20 @@ def q_jaccard_dup_pairs(sf_dir: str,
     m = np.zeros((n, len(vocab)), dtype=np.float32)
     m[np.repeat(np.arange(n, dtype=np.int64), lens),
       np.searchsorted(vocab, flat)] = 1.0
-    row_of_doc = {int(d): i for i, d in enumerate(doc_ids)}
-    ref = broadcast((doc_ids, m, m.sum(axis=1), row_of_doc))
+    # vectorized doc->row lookup: sorted ids + argsort permutation
+    # (searchsorted inside the stage, no per-row dict probes)
+    sort_ix = np.argsort(doc_ids).astype(np.int64)
+    ref = broadcast((doc_ids, m, m.sum(axis=1),
+                     doc_ids[sort_ix].astype(np.int64), sort_ix))
 
     class BlockPairs:
         def __init__(self):
-            self.ids, self.m, self.sizes32, self.row_of = ray.get(ref)
+            (self.ids, self.m, self.sizes32,
+             self.sorted_ids, self.sort_ix) = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = np.array([self.row_of[int(d)]
-                             for d in batch.column("doc_id").to_pylist()],
-                            dtype=np.int64)
+            d = batch.column("doc_id").to_numpy().astype(np.int64)
+            rows = self.sort_ix[np.searchsorted(self.sorted_ids, d)]
             inter32 = self.m[rows] @ self.m.T  # (b, n)
             union32 = (self.sizes32[rows, None] + self.sizes32[None, :]
                        - inter32)

@@ -37,6 +37,41 @@ from ..functions.dates import normalize_date_iso
 
 MLM_MASK_PCT = 15  # percent of words masked, deterministic
 
+# Standard CRC-32 (IEEE 802.3, reflected 0xEDB88320) lookup table — the
+# polynomial zlib.crc32 implements; lets the per-word mask hash run as
+# a handful of numpy table probes over the whole batch instead of a
+# Python loop per word.
+_CRC_TABLE = np.zeros(256, dtype=np.uint32)
+for _i in range(256):
+    _c = np.uint32(_i)
+    for _ in range(8):
+        _c = (_c >> np.uint32(1)) ^ (np.uint32(0xEDB88320)
+                                     if _c & np.uint32(1) else np.uint32(0))
+    _CRC_TABLE[_i] = _c
+del _i, _c
+
+
+def _crc32_int_suffix(base: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Vectorized ``zlib.crc32(str(w).encode(), base)`` — bit-identical
+    to the scalar zlib call (asserted in tests).  ``base`` is the
+    (finalized) crc of the per-window seed prefix; the decimal digits
+    of ``w`` are folded in most-significant-first, grouped by digit
+    count so every step is a whole-array table probe."""
+    crc = base.astype(np.uint32) ^ np.uint32(0xFFFFFFFF)
+    w = w.astype(np.int64)
+    ndig = np.ones(len(w), dtype=np.int64)
+    for p in (10, 100, 1000, 10**4, 10**5, 10**6, 10**7, 10**8):
+        ndig += w >= p
+    for length in np.unique(ndig):
+        m = ndig == length
+        x, c = w[m], crc[m]
+        for k in range(int(length) - 1, -1, -1):
+            byte = ((x // 10**k) % 10 + 48).astype(np.uint32)
+            c = (c >> np.uint32(8)) ^ _CRC_TABLE[(c ^ byte)
+                                                 & np.uint32(0xFF)]
+        crc[m] = c
+    return crc ^ np.uint32(0xFFFFFFFF)
+
 
 def build_mlm_examples(
     ds: rd.Dataset,
@@ -53,27 +88,45 @@ def build_mlm_examples(
         pa.field("mask_positions", pa.list_(pa.int32())))
 
     def to_examples(batch: pa.Table) -> pa.Table:
-        rows = []
+        # Window expansion stays per turn (parse/window shapes are
+        # inherently per-payload), but mask hashing is batched: one
+        # zlib.crc32 of the short seed prefix per WINDOW, then a single
+        # vectorized digit-CRC fold over every word in the batch.
+        rows, bases, n_words = [], [], []
         for cid, tix, payload in zip(batch.column("conv_id").to_pylist(),
                                      batch.column("turn_idx").to_pylist(),
                                      batch.column("text").to_pylist()):
             for row in _example_rows(payload, cfg, seq_len,
                                      with_labels=False):
-                n = len(row["words"])
                 seed = f"{cid}:{tix}:{row['page']}:{row['window_idx']}:"
-                mask = [
-                    w for w in range(n)
-                    if zlib.crc32(f"{seed}{w}".encode()) % 100 < MLM_MASK_PCT
-                ]
+                bases.append(zlib.crc32(seed.encode()))
+                n_words.append(len(row["words"]))
                 rows.append({
                     "conv_id": cid, "turn_idx": tix, **{
                         k: row[k] for k in
                         ("page", "window_idx", "n_windows", "word_start",
                          "word_end", "n_tokens", "words")},
                     "boxes": [b.tolist() for b in row["boxes"]],
-                    "mask_positions": mask,
                 })
-        return pa.Table.from_pylist(rows, schema=schema)
+        counts = np.asarray(n_words, dtype=np.int64)
+        if rows and counts.sum():
+            win_of = np.repeat(np.arange(len(rows), dtype=np.int64),
+                               counts)
+            w_arr = (np.arange(int(counts.sum()), dtype=np.int64)
+                     - np.repeat(np.concatenate(
+                         [[0], np.cumsum(counts)[:-1]]), counts))
+            keep = (_crc32_int_suffix(
+                np.asarray(bases, np.uint32)[win_of], w_arr)
+                % np.uint32(100)) < MLM_MASK_PCT
+            offsets = np.concatenate([[0], np.cumsum(
+                np.bincount(win_of[keep], minlength=len(rows)))])
+            mask_col = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(w_arr[keep].astype(np.int32)))
+        else:
+            mask_col = pa.array([[]] * len(rows), pa.list_(pa.int32()))
+        base_tbl = pa.Table.from_pylist(rows, schema=pa.schema(fields))
+        return base_tbl.append_column("mask_positions", mask_col)
 
     return ds.map_batches(to_examples, batch_format="pyarrow",
                           batch_size=batch_size)

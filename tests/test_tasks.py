@@ -71,3 +71,25 @@ def test_seq2seq_task(ray_session):
         assert t == normalize_date_iso(s)
     # at least some sources actually normalize to ISO form:
     assert any(re.match(r"^\d{4}-\d{2}-\d{2}$", t) for t in df["target"])
+
+
+def test_crc32_int_suffix_bit_identical_to_zlib():
+    """The vectorized digit-CRC fold must reproduce
+    ``zlib.crc32(str(w).encode(), base)`` exactly — the MLM mask
+    contract (and its independent oracle fixture) is defined in terms
+    of the scalar zlib call."""
+    import zlib
+
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_ray.pipelines.tasks import (
+        _crc32_int_suffix)
+
+    rng = np.random.default_rng(7)
+    bases = rng.integers(0, 2**32, 2000, dtype=np.uint64).astype(np.uint32)
+    ws = np.concatenate([np.arange(600),
+                         rng.integers(0, 10**8, 1400)])
+    got = _crc32_int_suffix(bases, ws)
+    exp = np.array([zlib.crc32(str(int(w)).encode(), int(b))
+                    for b, w in zip(bases, ws)], dtype=np.uint32)
+    assert (got == exp).all()
