@@ -870,10 +870,21 @@ def q_doc_dup_ngram_stats(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate([starts, [len(gs)]]))
         keep = np.repeat(sizes >= min_docs, sizes)
+        # in-shard combiner: fold the kept (gram, doc, npos) rows to ONE
+        # row per touched doc before the second exchange.  In
+        # duplicate-heavy data (the 10x replication proof: EVERY gram
+        # passes min_docs) the kept set approaches the full gram-pair
+        # table, so emitting it raw made exchange 2 scale with gram
+        # multiplicity; the per-doc sum is associative, so folding here
+        # is semantics-free.
+        docs_kept, npos_kept = docs[keep], npos[keep]
+        ud, inv = np.unique(docs_kept, return_inverse=True)
+        sums = np.zeros(len(ud), np.int64)
+        np.add.at(sums, inv, npos_kept.astype(np.int64))
         return pa.table({
-            "doc_id": pa.array(docs[keep], pa.int64()),
-            "n_ngrams": pa.array(np.zeros(int(keep.sum()), np.int64)),
-            "n_dup_ngrams": pa.array(npos[keep], pa.int64()),
+            "doc_id": pa.array(ud.astype(np.int64)),
+            "n_ngrams": pa.array(np.zeros(len(ud), np.int64)),
+            "n_dup_ngrams": pa.array(sums),
         })
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
