@@ -164,22 +164,25 @@ def q_doc_lm_score(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pyarrow", batch_size=8192)
 
 
-def q_doc_lm_score_shuffled(sf_dir: str) -> rd.Dataset:
-    """Same result via the both-sides-big plan: one token-shard shuffle,
-    in-shard per-token totals, union-with-zeros doc fold."""
-    n_shards = shuffle_width(n_rows=table_num_rows(sf_dir, "documents"),
-                             rows_per_shard=LSH_ROWS_PER_SHARD)
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+def _lm_len_rows(t: pa.Table) -> pa.Table:
+    """Per-doc token counts (for the grand-total-N streaming sum)."""
+    texts = t.column("text").to_pylist()
+    lens = np.fromiter((len(_tokens(x)) for x in texts),
+                       dtype=np.int64, count=len(texts))
+    return pa.table({"n": pa.array(lens)})
 
-    # grand total N: one cheap distributed sum -> a single driver scalar
-    def len_rows(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        lens = np.fromiter((len(_tokens(x)) for x in texts),
-                           dtype=np.int64, count=len(texts))
-        return pa.table({"n": pa.array(lens)})
 
-    total = float(docs.map_batches(len_rows, batch_format="pyarrow",
-                                   batch_size=8192).sum("n") or 0.0)
+def lm_grand_total(sf_dir: str) -> float:
+    """Corpus token total N: one cheap distributed sum -> one scalar."""
+    docs = read_table(sf_dir, "documents", ["text"])
+    return float(docs.map_batches(_lm_len_rows, batch_format="pyarrow",
+                                  batch_size=8192).sum("n") or 0.0)
+
+
+def _make_lm_token_rows(n_shards: int):
+    """(doc, hashed-token, count) exchange rows with a coarse token
+    shard key — the kernel both the query twin and the checkpointed
+    runner ship through the shuffle."""
 
     def token_rows(t: pa.Table) -> pa.Table:
         toks, dix, cnt, _ = _batch_doc_token_counts(
@@ -196,6 +199,13 @@ def q_doc_lm_score_shuffled(sf_dir: str) -> rd.Dataset:
                                np.zeros(0, np.int64)),
             "c": pa.array(cnt),
         })
+
+    return token_rows
+
+
+def _make_lm_shard_partials(total: float):
+    """In-shard per-token totals -> per-(doc, shard) bit partials.
+    Every row of a token lands in one shard, so ``tok_tot`` is exact."""
 
     def shard_partials(g: pd.DataFrame) -> pa.Table:
         h = g["tok"].to_numpy()
@@ -216,20 +226,21 @@ def q_doc_lm_score_shuffled(sf_dir: str) -> rd.Dataset:
             "p_n": pa.array(out["n"].to_numpy().astype(np.int64)),
         })
 
-    def zero_rows(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table({
-            "doc_id": t.column("doc_id").cast(pa.int64()),
-            "p_bits": pa.array(np.zeros(n, np.float64)),
-            "p_n": pa.array(np.zeros(n, np.int64)),
-        })
+    return shard_partials
 
-    partials = (docs.map_batches(token_rows, batch_format="pyarrow",
-                                 batch_size=8192)
-                .groupby("shard").map_groups(shard_partials,
-                                             batch_format="pandas"))
-    zeros = docs.map_batches(zero_rows, batch_format="pyarrow",
-                             batch_size=8192)
+
+def _lm_zero_rows(t: pa.Table) -> pa.Table:
+    """Zero partials so token-free docs survive the fold with n=0."""
+    n = len(t)
+    return pa.table({
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+        "p_bits": pa.array(np.zeros(n, np.float64)),
+        "p_n": pa.array(np.zeros(n, np.int64)),
+    })
+
+
+def lm_fold_partials(zeros: rd.Dataset, partials: rd.Dataset) -> rd.Dataset:
+    """Union-with-zeros groupby(doc_id) fold -> final score schema."""
     agg = (zeros.union(partials)
            .groupby("doc_id")
            .aggregate(Sum("p_bits", alias_name="bits_sum"),
@@ -245,6 +256,23 @@ def q_doc_lm_score_shuffled(sf_dir: str) -> rd.Dataset:
                        t.column("bits_sum").to_numpy())
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_doc_lm_score_shuffled(sf_dir: str) -> rd.Dataset:
+    """Same result via the both-sides-big plan: one token-shard shuffle,
+    in-shard per-token totals, union-with-zeros doc fold."""
+    n_shards = shuffle_width(n_rows=table_num_rows(sf_dir, "documents"),
+                             rows_per_shard=LSH_ROWS_PER_SHARD)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    total = lm_grand_total(sf_dir)
+    partials = (docs.map_batches(_make_lm_token_rows(n_shards),
+                                 batch_format="pyarrow", batch_size=8192)
+                .groupby("shard")
+                .map_groups(_make_lm_shard_partials(total),
+                            batch_format="pandas"))
+    zeros = docs.map_batches(_lm_zero_rows, batch_format="pyarrow",
+                             batch_size=8192)
+    return lm_fold_partials(zeros, partials)
 
 
 LM_SCORE_SQL = r"""

@@ -197,6 +197,73 @@ def test_ngram_resume_noop_then_crash_resume(ray_session, ngram_run):
     pd.testing.assert_frame_equal(_ngram_got(out), ref)
 
 
+@pytest.fixture(scope="module")
+def lm_run(ray_session, tmp_path_factory):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        scoring, scoring_checkpointed as sc)
+
+    out = str(tmp_path_factory.mktemp("ckpt") / "lm")
+    summary = sc.run_lm_score_checkpointed(SF, out, num_partitions=8)
+    ref = (scoring.q_doc_lm_score_shuffled(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return out, summary, ref
+
+
+def _lm_got(out):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        scoring_checkpointed as sc)
+
+    return (sc.read_lm_scores(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_lm_checkpointed_matches_query(ray_session, lm_run):
+    out, summary, ref = lm_run
+    assert summary["recomputed_partials"] == 8
+    assert summary["recomputed_partitions"] == 8
+    assert summary["n_docs"] == len(ref)
+    pd.testing.assert_frame_equal(_lm_got(out), ref)
+
+
+def test_lm_resume_noop_then_crash_resume(ray_session, lm_run):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        scoring_checkpointed as sc)
+
+    out, _, ref = lm_run
+    s2 = sc.run_lm_score_checkpointed(SF, out, num_partitions=8)
+    assert s2["recomputed_partials"] == 0
+    assert s2["recomputed_partitions"] == 0
+    # crash sim 1: one FOLD partition lost -> only it re-runs, stage A
+    # (the expensive exchange) is trusted:
+    shutil.rmtree(os.path.join(out, "scores", "partition_id=2"))
+    os.unlink(os.path.join(out, "_manifests", "scores-00002.json"))
+    s3 = sc.run_lm_score_checkpointed(SF, out, num_partitions=8)
+    assert s3["recomputed_partials"] == 0
+    assert s3["recomputed_partitions"] == 1
+    pd.testing.assert_frame_equal(_lm_got(out), ref)
+    # crash sim 2: one EXCHANGE group lost -> that group re-ships, and
+    # every fold partition is conservatively invalidated:
+    shutil.rmtree(os.path.join(out, "partials", "partition_id=5"),
+                  ignore_errors=True)
+    os.unlink(os.path.join(out, "_manifests", "partials-00005.json"))
+    s4 = sc.run_lm_score_checkpointed(SF, out, num_partitions=8)
+    assert s4["recomputed_partials"] == 1
+    assert s4["recomputed_partitions"] == 8
+    pd.testing.assert_frame_equal(_lm_got(out), ref)
+
+
+def test_lm_lineage_change_recomputes_all(ray_session, lm_run, monkeypatch):
+    from amazon_textract_transformer_pipeline_ray.pipelines import (
+        scoring_checkpointed as sc)
+
+    out, _, ref = lm_run
+    monkeypatch.setattr(sc, "LM_SCORE_SPEC_VERSION", "v-test-bump")
+    s = sc.run_lm_score_checkpointed(SF, out, num_partitions=8)
+    assert s["recomputed_partials"] == 8  # old records lineage-rejected
+    assert s["recomputed_partitions"] == 8
+    pd.testing.assert_frame_equal(_lm_got(out), ref)
+
+
 def test_ngram_removals_loss_invalidates_stage_b(ray_session, ngram_run):
     """Losing the stage-A commit record forces the gram exchange AND all
     rewrite partitions to re-run (they were computed against a removals
